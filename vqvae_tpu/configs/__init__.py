@@ -1,0 +1,8 @@
+from vqvae_tpu.configs.presets import (  # noqa: F401
+    Config,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    PRESETS,
+    get_config,
+)

@@ -1,0 +1,178 @@
+"""Typed, frozen configuration — the TPU-native replacement for the
+reference's ``opt.py`` module of plain globals (SURVEY.md §2.1, §5.6).
+
+Named presets correspond to BASELINE.json ``configs[]``:
+  tiny          — configs[0]: K=128, 10-layer WaveNet, CPU-sized
+  vctk-single   — configs[1]: single-speaker VCTK (p225), K=512
+  vctk-multi    — configs[2]: multi-speaker VCTK with global conditioning
+  fastgen       — configs[3]: batched fast autoregressive generation
+  stretch       — configs[4]: EMA codebook + 30-layer WaveNet + batch-64
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Audio front-end (reference: ``opt.py`` + ``utils.py::Preprocess``)."""
+
+    sr: int = 16000              # sample rate
+    mu: int = 256                # mu-law classes (quantize)
+    top_db: float = 20.0         # silence-trim threshold
+    length: int = 7680           # training slice (samples); multiple of hop
+    dataset_root: str = "VCTK-Corpus"
+    n_speakers: int = 109        # VCTK speaker count
+    speaker: str | None = None   # restrict to one speaker id (e.g. "p225")
+    valid_fraction: float = 0.01
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model shape (reference: ``opt.py`` globals consumed by ``net.py``)."""
+
+    mu: int = 256                # decoder softmax classes == input framing
+    # --- encoder: stack of strided 1-D convs (stride 2, kernel 4) ---
+    enc_channels: int = 128
+    enc_layers: int = 6          # 2**6 = 64x downsampling
+    enc_kernel: int = 4
+    enc_stride: int = 2
+    # --- vector quantizer ---
+    K: int = 512                 # codebook size
+    d: int = 64                  # embedding dim (latent channels)
+    beta: float = 0.25           # commitment cost
+    ema: bool = False            # EMA codebook updates (stretch config)
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5
+    # --- WaveNet decoder ---
+    n_loop: int = 3              # dilation-cycle repeats
+    n_layer: int = 10            # layers per cycle; dilations 1,2,4,...,2**(n-1)
+    residual_channels: int = 64
+    skip_channels: int = 256
+    filter_size: int = 2         # causal conv taps (reference uses 2)
+    # --- conditioning ---
+    n_speakers: int = 109        # 0/1 disables global conditioning
+    speaker_embed_dim: int = 64
+    upsample_kernel_mult: int = 2  # transposed-conv kernel = mult * hop
+    # --- numerics ---
+    compute_dtype: str = "bfloat16"  # matmul/conv dtype on TPU
+    param_dtype: str = "float32"
+
+    @property
+    def dilations(self) -> Tuple[int, ...]:
+        return tuple(2 ** i for i in range(self.n_layer)) * self.n_loop
+
+    @property
+    def n_layers_total(self) -> int:
+        return self.n_loop * self.n_layer
+
+    @property
+    def receptive_field(self) -> int:
+        # input conv (kernel 2) + sum over layers of (filter-1)*dilation
+        return 2 + (self.filter_size - 1) * sum(self.dilations)
+
+    @property
+    def hop(self) -> int:
+        """Total encoder downsampling factor (latent hop in samples)."""
+        return self.enc_stride ** self.enc_layers
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def pdtype(self):
+        return jnp.dtype(self.param_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training engine (reference: ``train.py`` Trainer/Updater wiring)."""
+
+    batch_size: int = 16          # global batch (sharded over the data axis)
+    lr: float = 2e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    num_steps: int = 200_000
+    log_every: int = 100
+    checkpoint_every: int = 2000
+    keep_checkpoints: int = 5
+    out_dir: str = "result"
+    seed: int = 0
+    # device mesh axis sizes; data axis is padded with -1 = "all remaining"
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    name: str = "default"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _tiny() -> Config:
+    """BASELINE configs[0]: tiny VQ-VAE (K=128, 10-layer WaveNet), CPU-OK."""
+    model = ModelConfig(
+        enc_channels=32, K=128, d=16,
+        n_loop=1, n_layer=10,
+        residual_channels=32, skip_channels=64,
+        n_speakers=4, speaker_embed_dim=8,
+        compute_dtype="float32",
+    )
+    data = DataConfig(length=1024, n_speakers=4)
+    train = TrainConfig(batch_size=4, num_steps=100, log_every=10,
+                        checkpoint_every=50)
+    return Config(data=data, model=model, train=train, name="tiny")
+
+
+def _vctk_single() -> Config:
+    """BASELINE configs[1]: single-speaker VCTK (p225), K=512."""
+    model = ModelConfig(n_speakers=1, speaker_embed_dim=16)
+    data = DataConfig(speaker="p225", n_speakers=1)
+    return Config(data=data, model=model, train=TrainConfig(),
+                  name="vctk-single")
+
+
+def _vctk_multi() -> Config:
+    """BASELINE configs[2]: multi-speaker VCTK, global conditioning."""
+    return Config(name="vctk-multi")
+
+
+def _fastgen() -> Config:
+    """BASELINE configs[3]: batched fast generation (model == vctk-multi)."""
+    return Config(name="fastgen")
+
+
+def _stretch() -> Config:
+    """BASELINE configs[4]: EMA codebook + 30-layer WaveNet + batch 64."""
+    model = ModelConfig(ema=True)
+    train = TrainConfig(batch_size=64)
+    return Config(model=model, train=train, name="stretch")
+
+
+PRESETS = {
+    "tiny": _tiny,
+    "vctk-single": _vctk_single,
+    "vctk-multi": _vctk_multi,
+    "fastgen": _fastgen,
+    "stretch": _stretch,
+    "default": Config,
+}
+
+
+def get_config(name: str = "default", **overrides) -> Config:
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
