@@ -1,0 +1,6 @@
+from vqvae_tpu.infer.fastgen import (  # noqa: F401
+    decode_from_codes,
+    generate_ids,
+    synthesize,
+    teacher_forced_scan_logits,
+)

@@ -1,0 +1,127 @@
+"""Fast autoregressive synthesis, TPU-resident
+(reference: ``net.py :: Decoder.initialize/generate`` + the per-sample
+Python loop in ``generate.py`` — SURVEY.md §3.2).
+
+The reference pops/pushes per-layer queues from Python, paying a
+host<->device round trip per sample.  Here the whole loop is ONE
+``lax.scan`` compiled into the same XLA program as the sampling: the
+carry is the constant-size ring-buffer state (models/wavenet.GenState)
+plus the PRNG key; the scanned inputs are the time-major local-condition
+frames.  Generation therefore never leaves the device (BASELINE north
+star), and batched streams amortise the MXU work.
+
+Exactness: ``decoder_step`` shares weights and op order with the
+teacher-forced decoder, so scan generation == teacher forcing when fed
+the same history (the §4.2a parity oracle; tested in
+tests/test_fastgen.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+from vqvae_tpu.configs import ModelConfig
+from vqvae_tpu.models.encoder import apply_encoder
+from vqvae_tpu.models.vq import nearest_code
+from vqvae_tpu.models.wavenet import (
+    decoder_step,
+    global_cond,
+    init_gen_state,
+    upsample_cond,
+)
+
+
+@partial(jax.jit, static_argnames=("cfg", "greedy"))
+def generate_ids(params: Dict, cfg: ModelConfig, cond: jax.Array,
+                 speaker: jax.Array, key: jax.Array,
+                 temperature: float = 1.0, greedy: bool = False
+                 ) -> jax.Array:
+    """Sample ``[B, T]`` mu-law ids given local condition ``[B, T, d]``.
+
+    One fused scan over T steps; O(1) state per step (Fast-WaveNet).
+    """
+    B, T, _ = cond.shape
+    dec = params["decoder"]
+    gcond = global_cond(dec, cfg, speaker)              # [L, B, 2R]
+    state = init_gen_state(cfg, B)
+    # seed with digital silence (the id that decodes closest to 0)
+    x0 = jnp.full((B,), int(cfg.mu // 2), jnp.int32)
+
+    def step(carry, c_t):
+        state, x_t, key = carry
+        state, logits = decoder_step(dec, cfg, state, x_t, c_t, gcond)
+        key, sub = jax.random.split(key)
+        if greedy:
+            x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            x_next = jax.random.categorical(
+                sub, logits / temperature).astype(jnp.int32)
+        return (state, x_next, key), x_next
+
+    cond_tm = jnp.swapaxes(cond, 0, 1)                  # [T, B, d]
+    (_, _, _), ids = jax.lax.scan(step, (state, x0, key), cond_tm)
+    return jnp.swapaxes(ids, 0, 1)                      # [B, T]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def teacher_forced_scan_logits(params: Dict, cfg: ModelConfig,
+                               ids_in: jax.Array, cond: jax.Array,
+                               speaker: jax.Array) -> jax.Array:
+    """Run the generation step with *given* inputs, returning logits
+    ``[B, T, mu]`` — must equal ``apply_decoder`` exactly (parity
+    oracle, SURVEY.md §4.2a)."""
+    B, T = ids_in.shape
+    dec = params["decoder"]
+    gcond = global_cond(dec, cfg, speaker)
+    state = init_gen_state(cfg, B)
+
+    def step(state, xs):
+        x_t, c_t = xs
+        state, logits = decoder_step(dec, cfg, state, x_t, c_t, gcond)
+        return state, logits
+
+    xs = (jnp.swapaxes(ids_in, 0, 1), jnp.swapaxes(cond, 0, 1))
+    _, logits = jax.lax.scan(step, state, xs)
+    return jnp.swapaxes(logits, 0, 1)
+
+
+def encode_to_codes(params: Dict, cfg: ModelConfig, wav: jax.Array
+                    ) -> jax.Array:
+    """Waveform ``[B, T]`` -> code ids ``[B, T/hop]`` ('encode' CLI)."""
+    z = apply_encoder(params["encoder"], cfg, wav)
+    return nearest_code(z, params["vq"]["codebook"].astype(z.dtype))
+
+
+def decode_from_codes(params: Dict, cfg: ModelConfig, codes: jax.Array,
+                      speaker: jax.Array, key: jax.Array,
+                      temperature: float = 1.0, greedy: bool = False
+                      ) -> jax.Array:
+    """Code ids ``[B, T_lat]`` -> float waveform ``[B, T_lat*hop]``
+    ('decode' CLI; also the back half of 'generate')."""
+    e = params["vq"]["codebook"][codes]                  # [B, T_lat, d]
+    cond = upsample_cond(params["decoder"], cfg, e)
+    ids = generate_ids(params, cfg, cond, speaker, key,
+                       temperature, greedy)
+    return mu_law_decode(ids, cfg.mu)
+
+
+def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
+               speaker: jax.Array, key: jax.Array,
+               temperature: float = 1.0, greedy: bool = False
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Full reference 'generate' pipeline: waveform -> codes -> waveform.
+
+    Returns (reconstructed wav ``[B, T']``, codes ``[B, T'/hop]``) where
+    T' = T rounded down to a multiple of the encoder hop.
+    """
+    T = wav.shape[1] - (wav.shape[1] % cfg.hop)
+    wav = mu_law_decode(mu_law_encode(wav[:, :T], cfg.mu), cfg.mu)
+    codes = encode_to_codes(params, cfg, wav)
+    out = decode_from_codes(params, cfg, codes, speaker, key,
+                            temperature, greedy)
+    return out, codes

@@ -1,0 +1,89 @@
+"""Top-level VQ-VAE: loss assembly (reference:
+``net.py :: class VQVAE(chainer.Chain).__call__``, SURVEY.md §2.1, §3.3).
+
+loss1 = softmax cross-entropy of decoder logits vs next-sample targets
+loss2 = ||sg(z_e) - e||^2                      (codebook, off when EMA)
+loss3 = beta * ||z_e - sg(e)||^2               (commitment)
+
+Gradient topology matches the reference exactly: the encoder learns
+through the decoder via the straight-through estimator plus the
+commitment term; the codebook learns only from loss2 (or EMA updates).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vqvae_tpu.audio.framing import Batch
+from vqvae_tpu.configs import ModelConfig
+from vqvae_tpu.models.encoder import apply_encoder, init_encoder
+from vqvae_tpu.models import vq as vq_mod
+from vqvae_tpu.models.vq import VQState, init_vq, quantize, vq_losses
+from vqvae_tpu.models.wavenet import (
+    apply_decoder,
+    global_cond,
+    init_decoder,
+    upsample_cond,
+)
+
+
+def init_model(key, cfg: ModelConfig) -> Dict:
+    k_enc, k_vq, k_dec = jax.random.split(key, 3)
+    return {
+        "encoder": init_encoder(k_enc, cfg),
+        "vq": init_vq(k_vq, cfg),
+        "decoder": init_decoder(k_dec, cfg),
+    }
+
+
+def init_vq_state(params: Dict) -> VQState:
+    return vq_mod.init_vq_state(params["vq"])
+
+
+def encode(params: Dict, cfg: ModelConfig, wav: jax.Array,
+           impl: str = "lax") -> jax.Array:
+    """Waveform ``[B, T]`` -> discrete code ids ``[B, T/hop]``
+    (reference 'encode' entry point)."""
+    z = apply_encoder(params["encoder"], cfg, wav)
+    return vq_mod.nearest_code(z, params["vq"]["codebook"], impl)
+
+
+def forward(params: Dict, cfg: ModelConfig, batch: Batch,
+            impl: str = "lax"
+            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Training forward: returns (total loss, metrics dict).
+
+    Metric names loss1/loss2/loss3 mirror ``chainer.report`` so loss
+    curves are directly comparable (SURVEY.md §5.5).
+    """
+    z = apply_encoder(params["encoder"], cfg, batch.wav)   # [B,Tl,d] f32
+    e_st, e, idx = quantize(params["vq"], z, impl)
+    loss2, loss3 = vq_losses(z, e)
+
+    cond = upsample_cond(params["decoder"], cfg, e_st)     # [B,T,d]
+    logits = apply_decoder(params["decoder"], cfg, batch.ids_in,
+                           cond, batch.speaker)            # [B,T,mu] f32
+    loss1 = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        logits, batch.targets))
+
+    if cfg.ema:
+        loss = loss1 + cfg.beta * loss3
+    else:
+        loss = loss1 + loss2 + cfg.beta * loss3
+
+    # codebook usage: fraction of codes hit in this batch (not in the
+    # reference's reports, but the standard VQ health metric)
+    used = jnp.zeros((cfg.K,), jnp.float32).at[idx.reshape(-1)].set(1.0)
+    metrics = {
+        "loss": loss,
+        "loss1": loss1,
+        "loss2": loss2,
+        "loss3": loss3,
+        "codebook_usage": jnp.mean(used),
+    }
+    aux = {"indices": idx, "z": z}
+    return loss, (metrics, aux)

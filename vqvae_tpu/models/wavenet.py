@@ -1,0 +1,219 @@
+"""WaveNet decoder (reference: ``net.py :: Decoder`` + ``ResidualBlock`` /
+``ResidualNet``, SURVEY.md §2.1) — dilated causal gated-residual stacks
+with local (upsampled VQ latents) and global (speaker embedding)
+conditioning, plus the per-sample step function used by the fast
+generator (reference: ``Decoder.initialize`` / ``Decoder.generate``).
+
+TPU-first redesign decisions:
+
+* The input "causal conv over a one-hot waveform" is algebraically two
+  embedding gathers (one_hot(x) @ W == W[x]); the one-hot is never
+  materialised.
+* Each dilated causal conv (filter size 2) is two time-shifted dense
+  matmuls (see ops/conv.py) — large MXU contractions instead of tiny
+  window convs.
+* All per-layer weights are stacked along a leading layer axis ``[L, ...]``
+  so they form a handful of large arrays (shardable along channel axes on
+  a 'model' mesh axis, and DMA-able as one block into VMEM by the Pallas
+  decode kernel).
+* ``decoder_step`` advances ONE sample given per-layer ring buffers.
+  Teacher-forced ``apply_decoder`` and ``decoder_step`` share the same
+  weights and the same operation order, so fast generation is exactly
+  teacher forcing (the §4.2a parity oracle).
+
+Shapes: R = residual_channels, S = skip_channels, d = latent dim,
+g = speaker_embed_dim, L = n_loop * n_layer, mu = classes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqvae_tpu.configs import ModelConfig
+from vqvae_tpu.ops.conv import (
+    dense_init,
+    shift_right,
+    upsample_apply,
+    upsample_init,
+)
+
+
+def _normal(key, shape, fan_in, dtype):
+    return jax.random.normal(key, shape, dtype) / math.sqrt(fan_in)
+
+
+def init_decoder(key, cfg: ModelConfig) -> Dict:
+    R, S, d, mu = (cfg.residual_channels, cfg.skip_channels, cfg.d, cfg.mu)
+    g = cfg.speaker_embed_dim
+    L = cfg.n_layers_total
+    k = cfg.filter_size
+    # The ring-buffer fast path and the shifted-matmul conv are
+    # specialised to the reference's 2-tap causal filters.
+    assert k == 2, "filter_size must be 2 (reference WaveNet uses 2 taps)"
+    keys = jax.random.split(key, 12)
+    pdt = cfg.pdtype
+
+    layers = {
+        # dilated causal conv producing gate preactivations (2R = filter+gate)
+        "wf": _normal(keys[0], (L, k, R, 2 * R), k * R, pdt),
+        "bf": jnp.zeros((L, 2 * R), pdt),
+        # local-condition 1x1 per layer
+        "vc": _normal(keys[1], (L, d, 2 * R), d, pdt),
+        # global-condition 1x1 per layer
+        "vg": _normal(keys[2], (L, g, 2 * R), g, pdt),
+        # residual / skip 1x1s
+        "wr": _normal(keys[3], (L, R, R), R, pdt),
+        "br": jnp.zeros((L, R), pdt),
+        "ws": _normal(keys[4], (L, R, S), R, pdt),
+        "bs": jnp.zeros((L, S), pdt),
+    }
+    return {
+        # input causal conv (kernel 2) over implicit one-hot: [2, mu, R]
+        "emb": {"w": _normal(keys[5], (2, mu, R), 2, pdt),
+                "b": jnp.zeros((R,), pdt)},
+        "layers": layers,
+        "head": {
+            "h1": dense_init(keys[6], S, S, pdt),
+            "h2": dense_init(keys[7], S, mu, pdt),
+        },
+        "upsample": upsample_init(keys[8], d, d, cfg.hop,
+                                  cfg.upsample_kernel_mult, pdt),
+        "speaker": {"w": jax.random.normal(keys[9],
+                                           (max(cfg.n_speakers, 1), g),
+                                           pdt)},
+    }
+
+
+def upsample_cond(params: Dict, cfg: ModelConfig, e: jax.Array
+                  ) -> jax.Array:
+    """Quantised latents ``[B, T/hop, d]`` -> audio-rate ``[B, T, d]``."""
+    return upsample_apply(params["upsample"], e, cfg.hop, cfg.cdtype)
+
+
+def global_cond(params: Dict, cfg: ModelConfig, speaker: jax.Array
+                ) -> jax.Array:
+    """Per-layer global contribution (speaker embed through each vg),
+    with the conv bias folded in: ``[L, B, 2R]``."""
+    gemb = params["speaker"]["w"].astype(cfg.cdtype)[speaker]  # [B, g]
+    vg = params["layers"]["vg"].astype(cfg.cdtype)             # [L, g, 2R]
+    bf = params["layers"]["bf"].astype(cfg.cdtype)             # [L, 2R]
+    return jnp.einsum("bg,lgr->lbr", gemb, vg) + bf[:, None, :]
+
+
+def embed_inputs(params: Dict, cfg: ModelConfig, ids: jax.Array
+                 ) -> jax.Array:
+    """Teacher-forced input layer: causal kernel-2 'conv' over the
+    implicit one-hot, as two gathers. ``[B, T] -> [B, T, R]``."""
+    w = params["emb"]["w"].astype(cfg.cdtype)
+    h = w[1][ids] + shift_right(w[0][ids], 1)
+    return h + params["emb"]["b"].astype(cfg.cdtype)
+
+
+def _gate(u: jax.Array, R: int) -> jax.Array:
+    return jnp.tanh(u[..., :R]) * jax.nn.sigmoid(u[..., R:])
+
+
+def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
+                  cond: jax.Array, speaker: jax.Array) -> jax.Array:
+    """Teacher-forced decode: ids ``[B, T]``, cond ``[B, T, d]``,
+    speaker ``[B]`` -> logits ``[B, T, mu]`` (float32)."""
+    R = cfg.residual_channels
+    cdt = cfg.cdtype
+    lay = params["layers"]
+    h = embed_inputs(params, cfg, ids_in)
+    cond = cond.astype(cdt)
+    gcond = global_cond(params, cfg, speaker)        # [L, B, 2R]
+    skips = None
+    for li, dil in enumerate(cfg.dilations):
+        wf = lay["wf"][li].astype(cdt)               # [2, R, 2R]
+        u = shift_right(h, dil) @ wf[0] + h @ wf[1]
+        u = u + cond @ lay["vc"][li].astype(cdt) + gcond[li][:, None, :]
+        z = _gate(u, R)
+        h = h + z @ lay["wr"][li].astype(cdt) + lay["br"][li].astype(cdt)
+        s = z @ lay["ws"][li].astype(cdt) + lay["bs"][li].astype(cdt)
+        skips = s if skips is None else skips + s
+    return _head(params, cfg, skips)
+
+
+def _head(params: Dict, cfg: ModelConfig, skips: jax.Array) -> jax.Array:
+    cdt = cfg.cdtype
+    h1, h2 = params["head"]["h1"], params["head"]["h2"]
+    x = jax.nn.relu(skips)
+    x = jax.nn.relu(x @ h1["w"].astype(cdt) + h1["b"].astype(cdt))
+    logits = x @ h2["w"].astype(jnp.float32) + h2["b"].astype(jnp.float32)
+    return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fast generation: per-sample step over ring buffers
+# (reference: net.py Decoder.initialize/generate — SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+
+class GenState(NamedTuple):
+    """Constant-size carry for the sampling scan (lives on device).
+
+    ``bufs[l]`` is a ring buffer ``[B, dilations[l], R]`` of layer l's
+    *inputs*; slot ``t % dil`` holds h_l[t - dil] at the moment step t
+    reads it, and is overwritten with h_l[t] right after (t - dil == t
+    mod dil). ``prev_emb0`` carries W0[x[t-1]] for the input conv.
+    """
+
+    t: jax.Array                 # [] int32 global step
+    prev_emb0: jax.Array         # [B, R]
+    bufs: Tuple[jax.Array, ...]  # per layer [B, dil_l, R]
+
+
+def init_gen_state(cfg: ModelConfig, batch: int) -> GenState:
+    R = cfg.residual_channels
+    cdt = cfg.cdtype
+    return GenState(
+        t=jnp.zeros((), jnp.int32),
+        prev_emb0=jnp.zeros((batch, R), cdt),
+        bufs=tuple(jnp.zeros((batch, d, R), cdt) for d in cfg.dilations),
+    )
+
+
+def decoder_step(params: Dict, cfg: ModelConfig, state: GenState,
+                 x_t: jax.Array, c_t: jax.Array, gcond: jax.Array
+                 ) -> Tuple[GenState, jax.Array]:
+    """One autoregressive step.
+
+    x_t ``[B]`` int32 current sample ids, c_t ``[B, d]`` local condition
+    at t, gcond ``[L, B, 2R]`` precomputed global contribution.
+    Returns (new state, logits ``[B, mu]`` for sample t+1).
+    """
+    R = cfg.residual_channels
+    cdt = cfg.cdtype
+    lay = params["layers"]
+    t = state.t
+
+    w_emb = params["emb"]["w"].astype(cdt)
+    h = w_emb[1][x_t] + state.prev_emb0 + params["emb"]["b"].astype(cdt)
+    new_prev_emb0 = w_emb[0][x_t]
+
+    new_bufs: List[jax.Array] = []
+    skips = None
+    for li, dil in enumerate(cfg.dilations):
+        buf = state.bufs[li]
+        slot = t & (dil - 1) if (dil & (dil - 1)) == 0 else t % dil
+        past = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)[:, 0, :]
+        # t < dil -> left zero-pad region (buffer starts zeroed and slot
+        # still holds its initial zeros, matching shift_right's padding)
+        wf = lay["wf"][li].astype(cdt)
+        u = past @ wf[0] + h @ wf[1]
+        u = u + c_t.astype(cdt) @ lay["vc"][li].astype(cdt) + gcond[li]
+        new_bufs.append(jax.lax.dynamic_update_slice_in_dim(
+            buf, h[:, None, :], slot, axis=1))
+        z = _gate(u, R)
+        h = h + z @ lay["wr"][li].astype(cdt) + lay["br"][li].astype(cdt)
+        s = z @ lay["ws"][li].astype(cdt) + lay["bs"][li].astype(cdt)
+        skips = s if skips is None else skips + s
+
+    logits = _head(params, cfg, skips[:, None, :])[:, 0, :]
+    return GenState(t=t + 1, prev_emb0=new_prev_emb0,
+                    bufs=tuple(new_bufs)), logits

@@ -1,0 +1,132 @@
+"""1-D convolution primitives, TPU-first.
+
+The reference leans on cuDNN via ``chainer.functions.convolution_nd`` /
+``deconvolution_nd`` (SURVEY.md §2.2 N1).  Here:
+
+* **Causal dilated convs** (the WaveNet hot path, filter size 2-3) are
+  expressed as a sum of *time-shifted dense matmuls* — for filter size k:
+  ``y[t] = sum_j x[t - (k-1-j)*d] @ w[j]``.  Each tap is one big
+  ``[B*T, C_in] x [C_in, C_out]`` matmul that XLA tiles straight onto the
+  MXU, and the shifts are free (pad+slice fuses into the surrounding
+  computation).  This avoids cuDNN-style small-window conv kernels that
+  map poorly to the systolic array.
+* **Strided encoder convs** use ``lax.conv_general_dilated`` (XLA lowers
+  stride-2 k=4 convs to MXU-shaped contractions on TPU).
+* **Upsampling** (latents -> audio rate) is ``lax.conv_transpose``.
+
+Layout is ``[B, T, C]`` (channels on the 128-lane minor dimension).
+
+All params are plain pytrees (dicts of arrays): init lives next to apply,
+everything composes with jit/grad/shard_map without framework overhead.
+Weight init is LeCun-normal with zero bias, matching Chainer's conv
+default so loss curves are comparable (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _lecun_normal(key, shape, fan_in, dtype):
+    return jax.random.normal(key, shape, dtype) / math.sqrt(fan_in)
+
+
+def dense_init(key, in_ch: int, out_ch: int, dtype=jnp.float32,
+               bias: bool = True) -> Dict[str, jax.Array]:
+    p = {"w": _lecun_normal(key, (in_ch, out_ch), in_ch, dtype)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def conv1d_init(key, in_ch: int, out_ch: int, kernel: int,
+                dtype=jnp.float32, bias: bool = True
+                ) -> Dict[str, jax.Array]:
+    """Weights for a 1-D conv: w ``[kernel, in_ch, out_ch]``."""
+    p = {"w": _lecun_normal(key, (kernel, in_ch, out_ch),
+                            kernel * in_ch, dtype)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def shift_right(x: jax.Array, n: int) -> jax.Array:
+    """Shift ``[B, T, C]`` right along T by n, zero-filling (causal pad)."""
+    if n == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (n, 0), (0, 0)))[:, : x.shape[1], :]
+
+
+def causal_conv_apply(params: Dict[str, jax.Array], x: jax.Array,
+                      dilation: int = 1, dtype=None) -> jax.Array:
+    """Causal dilated 1-D conv of ``[B, T, C_in] -> [B, T, C_out]``.
+
+    Output at t depends on inputs at {t, t-d, ..., t-(k-1)d} only; the
+    left context is zero-padded (equivalent to the reference's padded
+    ``convolution_nd`` causal stack).
+    """
+    w = params["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    k = w.shape[0]
+    y = x @ w[k - 1]
+    for j in range(k - 1):
+        y = y + shift_right(x, (k - 1 - j) * dilation) @ w[j]
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def strided_conv_apply(params: Dict[str, jax.Array], x: jax.Array,
+                       stride: int, dtype=None) -> jax.Array:
+    """Strided 'SAME' 1-D conv (encoder downsampling):
+    ``[B, T, C_in] -> [B, T//stride, C_out]``."""
+    w = params["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding="SAME",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def upsample_init(key, in_ch: int, out_ch: int, hop: int,
+                  kernel_mult: int = 2, dtype=jnp.float32
+                  ) -> Dict[str, jax.Array]:
+    """Transposed-conv upsampler params (latent rate -> audio rate).
+
+    Reference equivalent: ``DeconvolutionND`` on the VQ output
+    (SURVEY.md §2.1 WaveNet decoder row).
+    """
+    kernel = hop * kernel_mult
+    return conv1d_init(key, in_ch, out_ch, kernel, dtype)
+
+
+def upsample_apply(params: Dict[str, jax.Array], z: jax.Array,
+                   hop: int, dtype=None) -> jax.Array:
+    """``[B, T_lat, C_in] -> [B, T_lat*hop, C_out]`` via conv_transpose."""
+    w = params["w"]
+    if dtype is not None:
+        z = z.astype(dtype)
+        w = w.astype(dtype)
+    y = lax.conv_transpose(
+        z, w,
+        strides=(hop,),
+        padding="SAME",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
