@@ -1,0 +1,79 @@
+"""Mesh/sharding tests (SURVEY.md §2.3, §4.3): DP+TP meshes compile and
+run the full train step on 8 virtual CPU devices; model-axis sharding
+produces the same numbers as pure replication."""
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vqvae_tpu.audio.datasets import SineDataset
+from vqvae_tpu.configs import get_config
+from vqvae_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_shardings,
+)
+from vqvae_tpu.train import create_train_state, make_train_step
+
+
+def _cfg(**kw):
+    cfg = get_config("tiny")
+    return cfg.replace(train=dataclasses.replace(
+        cfg.train, batch_size=8, **kw))
+
+
+def _one_batch(cfg, seed=0):
+    ds = SineDataset(cfg.data)
+    rng = np.random.default_rng(seed)
+    wavs, spks = zip(*[ds.sample(rng)
+                       for _ in range(cfg.train.batch_size)])
+    return np.stack(wavs), np.asarray(spks, np.int32)
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    m = make_mesh(model=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m = make_mesh(data=2, model=4)
+    assert m.shape == {"data": 2, "model": 4}
+
+
+def test_param_shardings_model_axis():
+    cfg = get_config("tiny")
+    mesh = make_mesh(model=2)
+    params = create_train_state(jax.random.PRNGKey(0), cfg).params
+    sh = param_shardings(mesh, params)
+    # stacked WaveNet weights shard on the trailing channel axis
+    wf_spec = sh["decoder"]["layers"]["wf"].spec
+    assert wf_spec == P(None, None, None, "model")
+    # codebook shards along K
+    assert sh["vq"]["codebook"].spec == P("model")
+    # 1-channel first conv replicates its bias
+    assert sh["encoder"]["layers"][0]["b"].spec in (P(), P("model"))
+
+
+def _run_step(cfg, mesh):
+    jit_for, shardings_of = make_train_step(cfg, mesh)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = shardings_of(state)
+    state = jax.device_put(state, sh)
+    step = jit_for(sh)
+    wav, spk = _one_batch(cfg)
+    bsh = batch_sharding(mesh)
+    state, metrics = step(state, jax.device_put(wav, bsh),
+                          jax.device_put(spk, bsh))
+    return jax.device_get(metrics), state
+
+
+def test_dp_tp_mesh_full_step():
+    """4x2 (data x model) mesh: the full train step compiles, runs, and
+    matches the pure-DP result."""
+    cfg = _cfg()
+    m_dp, _ = _run_step(cfg, make_mesh())           # 8x1
+    m_tp, state = _run_step(cfg, make_mesh(model=2))  # 4x2
+    for k in ("loss", "loss1", "loss2", "loss3"):
+        assert abs(m_dp[k] - m_tp[k]) < 1e-4, k
+    # sharded param remains addressable and finite
+    cb = jax.device_get(state.params["vq"]["codebook"])
+    assert np.all(np.isfinite(cb))

@@ -1,0 +1,162 @@
+"""Training-engine tests (SURVEY.md §4.4): tiny end-to-end train on the
+synthetic sine dataset, loss decrease, checkpoint->resume equivalence,
+EMA codebook training."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vqvae_tpu.audio.datasets import SineDataset
+from vqvae_tpu.configs import get_config
+from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
+from vqvae_tpu.train import create_train_state, make_train_step, train
+from vqvae_tpu.train.checkpoint import (
+    export_weights, latest_step, restore_checkpoint, save_checkpoint,
+)
+
+
+def _cfg(**train_kw):
+    cfg = get_config("tiny")
+    if train_kw:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+    return cfg
+
+
+def _fixed_batches(cfg, n, seed=0):
+    ds = SineDataset(cfg.data)
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        wavs, spks = zip(*[ds.sample(rng)
+                           for _ in range(cfg.train.batch_size)])
+        out.append((np.stack(wavs), np.asarray(spks, np.int32)))
+    return out
+
+
+def _make_step(cfg, mesh):
+    jit_for, shardings_of = make_train_step(cfg, mesh)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = shardings_of(state)
+    state = jax.device_put(state, sh)
+    return jit_for(sh), state, sh
+
+
+def test_train_step_runs_and_loss_drops():
+    cfg = _cfg(batch_size=8)
+    mesh = make_mesh()  # 8 CPU devices, pure DP
+    step_fn, state, _ = _make_step(cfg, mesh)
+    batches = _fixed_batches(cfg, 30)
+    first = None
+    bsh = batch_sharding(mesh)
+    for wav, spk in batches:
+        state, metrics = step_fn(state,
+                                 jax.device_put(wav, bsh),
+                                 jax.device_put(spk, bsh))
+        if first is None:
+            first = float(metrics["loss1"])
+    last = float(metrics["loss1"])
+    assert np.isfinite(last)
+    assert last < first  # learns the sine quickly
+    assert int(jax.device_get(state.step)) == 30
+
+
+def test_dp_matches_single_device():
+    """Same data, same init: 8-way DP must produce the same update as
+    one device (XLA psum == serial sum), to float tolerance."""
+    cfg = _cfg(batch_size=8)
+    (wav, spk), = _fixed_batches(cfg, 1)
+    results = []
+    for ndev in (1, 8):
+        mesh = make_mesh(devices=jax.devices()[:ndev])
+        step_fn, state, _ = _make_step(cfg, mesh)
+        bsh = batch_sharding(mesh)
+        state, metrics = step_fn(state, jax.device_put(wav, bsh),
+                                 jax.device_put(spk, bsh))
+        results.append((float(metrics["loss"]),
+                        jax.device_get(state.params["vq"]["codebook"])))
+    assert abs(results[0][0] - results[1][0]) < 1e-5
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Step N then save/restore then M more == straight N+M run
+    (SURVEY.md §4.4)."""
+    cfg = _cfg(batch_size=8)
+    mesh = make_mesh()
+    batches = _fixed_batches(cfg, 4)
+    bsh = batch_sharding(mesh)
+
+    def run(state, step_fn, bs):
+        for wav, spk in bs:
+            state, _ = step_fn(state, jax.device_put(wav, bsh),
+                               jax.device_put(spk, bsh))
+        return state
+
+    step_fn, state, sh = _make_step(cfg, mesh)
+    straight = run(state, step_fn, batches)
+
+    step_fn2, state2, sh2 = _make_step(cfg, mesh)
+    half = run(state2, step_fn2, batches[:2])
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, half)
+    assert latest_step(ckpt) == 2
+    restored = restore_checkpoint(ckpt, half)
+    restored = jax.device_put(restored, sh2)
+    resumed = run(restored, step_fn2, batches[2:])
+
+    a = jax.device_get(straight.params)
+    b = jax.device_get(resumed.params)
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
+    assert int(jax.device_get(resumed.step)) == 4
+
+
+def test_ema_training_step():
+    cfg = _cfg(batch_size=8)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, ema=True))
+    mesh = make_mesh()
+    step_fn, state, _ = _make_step(cfg, mesh)
+    cb0 = jax.device_get(state.params["vq"]["codebook"])
+    bsh = batch_sharding(mesh)
+    for wav, spk in _fixed_batches(cfg, 3):
+        state, metrics = step_fn(state, jax.device_put(wav, bsh),
+                                 jax.device_put(spk, bsh))
+    cb1 = jax.device_get(state.params["vq"]["codebook"])
+    assert not np.allclose(cb0, cb1)        # EMA moved the codebook
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(np.sum(jax.device_get(state.vq_state.count))) > 0
+
+
+def test_train_loop_end_to_end(tmp_path):
+    """Full train() loop: logs written, checkpoints created, resume
+    continues from the saved step."""
+    cfg = _cfg(batch_size=8, num_steps=6, log_every=2,
+               checkpoint_every=3)
+    out = str(tmp_path / "run")
+    ds = SineDataset(cfg.data)
+    state = train(cfg, ds, out_dir=out, echo=False)
+    assert int(jax.device_get(state.step)) == 6
+    recs = [json.loads(l) for l in open(os.path.join(out, "log.jsonl"))]
+    assert recs and recs[-1]["iteration"] == 6
+    assert {"loss", "loss1", "loss2", "loss3"} <= set(recs[-1])
+    assert latest_step(os.path.join(out, "checkpoints")) == 6
+    # resume two more steps
+    state = train(cfg, ds, out_dir=out, resume=True, num_steps=8,
+                  echo=False)
+    assert int(jax.device_get(state.step)) == 8
+
+
+def test_export_weights(tmp_path):
+    cfg = _cfg()
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    p = str(tmp_path / "w.npz")
+    export_weights(p, state.params)
+    z = np.load(p)
+    assert any("codebook" in k for k in z.files)
+    assert any(k.startswith("decoder/") for k in z.files)

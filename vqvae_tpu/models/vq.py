@@ -48,8 +48,10 @@ def init_vq(key, cfg: ModelConfig) -> Dict:
 
 def init_vq_state(params: Dict) -> VQState:
     cb = params["codebook"]
+    # explicit copy: .astype(float32) of an f32 array aliases the
+    # codebook buffer, which breaks donation in the jitted train step
     return VQState(count=jnp.zeros((cb.shape[0],), jnp.float32),
-                   sum=cb.astype(jnp.float32))
+                   sum=jnp.array(cb, jnp.float32, copy=True))
 
 
 def nearest_code(z: jax.Array, codebook: jax.Array,

@@ -1,0 +1,76 @@
+"""Device mesh + sharding rules (SURVEY.md §2.3, §5.8).
+
+The reference's only parallelism is single-node data-parallel NCCL
+allreduce (Chainer ``MultiprocessParallelUpdater``).  The TPU-native
+equivalent is zero user-visible communication code: a ``Mesh`` over
+('data', 'model'), the batch sharded along 'data' via ``NamedSharding``,
+parameters replicated (or channel-sharded along 'model'), and XLA
+inserting the gradient ``psum`` over ICI automatically inside the
+jit-compiled train step.
+
+'model' is the optional tensor-parallel axis the reference never had:
+stacked per-layer WaveNet weights are sharded along their *output*
+channel axes and the codebook along K when divisible.  At mesh_model=1
+every rule degenerates to replication, so the same jitted step serves
+single-chip, pure-DP, and DP+TP without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build a ('data', 'model') mesh. data=-1 means 'all remaining'."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _spec_for(path: str, x: Any, model_size: int) -> P:
+    """Channel-sharding rule for one parameter leaf.
+
+    Stacked WaveNet weights [L, ..., C_out] and dense/conv kernels
+    [..., C_out] shard along the trailing (output-channel) axis when it
+    divides the 'model' axis; biases and small leaves replicate. The VQ
+    codebook [K, d] shards along K (argmin is over gathered scores, so
+    XLA all-gathers the per-shard partial scores — fine at K<=512).
+    """
+    if model_size == 1 or not hasattr(x, "ndim") or x.ndim == 0:
+        return P()
+    if "codebook" in path or path.endswith("/sum"):
+        return P("model") if x.shape[0] % model_size == 0 else P()
+    if x.ndim >= 2 and x.shape[-1] % model_size == 0:
+        return P(*([None] * (x.ndim - 1) + ["model"]))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree mirroring ``params``."""
+    model_size = mesh.shape["model"]
+
+    def walk(path, x):
+        keys = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        return NamedSharding(mesh, _spec_for(keys, x, model_size))
+
+    return jax.tree_util.tree_map_with_path(walk, params)

@@ -1,0 +1,78 @@
+"""Training loop (reference: ``train.py`` Trainer wiring + trainer.run()
+— SURVEY.md §3.1).
+
+Host responsibilities per step are minimal: pull a prefetched numpy
+batch, device_put with the 'data' sharding, enqueue the compiled step.
+Logging/checkpoint triggers mirror the reference's extension triggers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vqvae_tpu.configs import Config
+from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
+from vqvae_tpu.train.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from vqvae_tpu.train.metrics import MetricsLogger
+from vqvae_tpu.train.state import TrainState, create_train_state
+from vqvae_tpu.train.step import make_train_step
+
+
+def train(cfg: Config, dataset, out_dir: Optional[str] = None,
+          resume: bool = False, num_steps: Optional[int] = None,
+          mesh=None, impl: str = "lax", echo: bool = True
+          ) -> TrainState:
+    """Run training; returns the final TrainState (fully replicated
+    leaves stay sharded — use jax.device_get on what you need)."""
+    out_dir = out_dir or cfg.train.out_dir
+    num_steps = num_steps if num_steps is not None else cfg.train.num_steps
+    mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+    assert cfg.train.batch_size % mesh.shape["data"] == 0, (
+        f"global batch {cfg.train.batch_size} must divide the 'data' mesh "
+        f"axis ({mesh.shape['data']} devices)")
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    jit_step_for, state_shardings = make_train_step(cfg, mesh, impl)
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    shardings = state_shardings(state)
+    state = jax.device_put(state, shardings)
+    step_fn = jit_step_for(shardings)
+
+    start = 0
+    if resume and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        state = jax.device_put(state, shardings)
+        start = int(jax.device_get(state.step))
+
+    from vqvae_tpu.audio.loader import BatchLoader
+    loader = BatchLoader(dataset, cfg.train.batch_size,
+                         seed=cfg.train.seed + start)
+    logger = MetricsLogger(out_dir)
+    bshard = batch_sharding(mesh)
+
+    try:
+        metrics = None
+        for step in range(start, num_steps):
+            wav, spk = next(loader)
+            wav = jax.device_put(wav, bshard)
+            spk = jax.device_put(spk, bshard)
+            state, metrics = step_fn(state, wav, spk)
+            if (step + 1) % cfg.train.log_every == 0 or step == start:
+                logger.log(step + 1, jax.device_get(metrics), echo)
+            if (step + 1) % cfg.train.checkpoint_every == 0:
+                save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
+        if num_steps > start and (num_steps % cfg.train.checkpoint_every):
+            save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
+        logger.plot()
+    finally:
+        loader.close()
+        logger.close()
+    return state
