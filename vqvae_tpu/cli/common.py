@@ -1,0 +1,65 @@
+"""Shared CLI plumbing: config resolution and checkpoint loading
+(reference: the argparse + ``load_npz`` preamble shared by ``train.py``
+and ``generate.py`` — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+
+from vqvae_tpu.configs import Config, get_config
+
+# Persistent XLA compilation cache: CLI processes are short-lived, and
+# the AR-decode scan costs tens of seconds to compile; cache it across
+# invocations (harmless if the dir is wiped).
+_cache_dir = os.environ.get(
+    "VQVAE_TPU_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "vqvae_tpu_xla"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knob — non-fatal
+    pass
+from vqvae_tpu.train.checkpoint import latest_step, restore_checkpoint
+from vqvae_tpu.train.state import create_train_state
+
+
+def add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="vctk-multi",
+                   help="config preset (tiny/vctk-single/vctk-multi/"
+                        "fastgen/stretch)")
+
+
+def resolve_config(args) -> Config:
+    return get_config(args.preset)
+
+
+def checkpoint_dir(model_path: str) -> str:
+    """Accept either a run out_dir or its checkpoints/ subdir."""
+    sub = os.path.join(model_path, "checkpoints")
+    return sub if os.path.isdir(sub) else model_path
+
+
+def load_params(model_path: str, cfg: Config):
+    """Restore model params from a training run directory."""
+    ckpt = checkpoint_dir(model_path)
+    step = latest_step(ckpt)
+    assert step is not None, f"no checkpoint found under {model_path}"
+    template = create_train_state(jax.random.PRNGKey(0), cfg)
+    state = restore_checkpoint(ckpt, template, step)
+    print(f"restored step {step} from {ckpt}")
+    return state.params
+
+
+def make_dataset(cfg: Config, kind: str, root: str | None = None):
+    if kind == "sine":
+        from vqvae_tpu.audio.datasets import SineDataset
+        return SineDataset(cfg.data)
+    from vqvae_tpu.audio.datasets import WavDataset, scan_vctk
+    root = root or cfg.data.dataset_root
+    paths, ids, spk_dict = scan_vctk(root, cfg.data.speaker)
+    print(f"dataset: {len(paths)} files, {len(spk_dict)} speakers")
+    return WavDataset(paths, ids, cfg.data)

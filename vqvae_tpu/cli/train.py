@@ -1,0 +1,53 @@
+"""Training CLI (reference: ``python train.py -g 0 1 -r snap`` —
+SURVEY.md §2.1 Training CLI row).
+
+The reference's ``-g/--gpu`` device list becomes mesh axis sizes — the
+framework shards over every visible TPU chip by default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from vqvae_tpu.cli.common import add_config_args, make_dataset, \
+    resolve_config
+from vqvae_tpu.train import train
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train a VQ-VAE (TPU-native)")
+    add_config_args(p)
+    p.add_argument("--dataset", default="vctk", choices=["vctk", "sine"])
+    p.add_argument("--root", default=None, help="VCTK root directory")
+    p.add_argument("-r", "--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--out", default=None, help="output directory")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=None,
+                   help="'model' (tensor-parallel) mesh axis size")
+    p.add_argument("--impl", default="lax", choices=["lax", "pallas"],
+                   help="VQ kernel implementation")
+    args = p.parse_args()
+
+    cfg = resolve_config(args)
+    tr = {}
+    if args.steps is not None:
+        tr["num_steps"] = args.steps
+    if args.batch_size is not None:
+        tr["batch_size"] = args.batch_size
+    if args.out is not None:
+        tr["out_dir"] = args.out
+    if args.mesh_model is not None:
+        tr["mesh_model"] = args.mesh_model
+    if tr:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+
+    dataset = make_dataset(cfg, args.dataset, args.root)
+    train(cfg, dataset, out_dir=cfg.train.out_dir, resume=args.resume,
+          impl=args.impl)
+
+
+if __name__ == "__main__":
+    main()
