@@ -19,7 +19,7 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 800_000.0  # 50x realtime @ 16 kHz
 SECONDS = 1.0
-BATCH = 64  # batched streams (BASELINE configs[3]/[4])
+BATCH = 256  # batched streams (BASELINE configs[3]/[4])
 
 
 def main() -> None:

@@ -32,6 +32,7 @@ from vqvae_tpu.models.wavenet import (
     decoder_step,
     global_cond,
     init_gen_state,
+    make_gen_params,
     upsample_cond,
 )
 
@@ -47,6 +48,7 @@ def generate_ids(params: Dict, cfg: ModelConfig, cond: jax.Array,
     """
     B, T, _ = cond.shape
     dec = params["decoder"]
+    gp = make_gen_params(dec, cfg)
     gcond = global_cond(dec, cfg, speaker)              # [L, B, 2R]
     state = init_gen_state(cfg, B)
     # seed with digital silence (the id that decodes closest to 0)
@@ -54,7 +56,7 @@ def generate_ids(params: Dict, cfg: ModelConfig, cond: jax.Array,
 
     def step(carry, c_t):
         state, x_t, key = carry
-        state, logits = decoder_step(dec, cfg, state, x_t, c_t, gcond)
+        state, logits = decoder_step(gp, cfg, state, x_t, c_t, gcond)
         key, sub = jax.random.split(key)
         if greedy:
             x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -77,12 +79,13 @@ def teacher_forced_scan_logits(params: Dict, cfg: ModelConfig,
     oracle, SURVEY.md §4.2a)."""
     B, T = ids_in.shape
     dec = params["decoder"]
+    gp = make_gen_params(dec, cfg)
     gcond = global_cond(dec, cfg, speaker)
     state = init_gen_state(cfg, B)
 
     def step(state, xs):
         x_t, c_t = xs
-        state, logits = decoder_step(dec, cfg, state, x_t, c_t, gcond)
+        state, logits = decoder_step(gp, cfg, state, x_t, c_t, gcond)
         return state, logits
 
     xs = (jnp.swapaxes(ids_in, 0, 1), jnp.swapaxes(cond, 0, 1))

@@ -151,7 +151,55 @@ def _head(params: Dict, cfg: ModelConfig, skips: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Fast generation: per-sample step over ring buffers
 # (reference: net.py Decoder.initialize/generate — SURVEY.md §3.2)
+#
+# The step is latency-bound: its cost is the count of *sequential* MXU
+# ops, not FLOPs.  So the weights are repacked once per generation call
+# into fused forms that halve the critical path per layer:
+#   * [past | h] @ [wf0; wf1]  — one [B,2R]x[2R,2R] matmul per layer
+#     instead of two R-contractions,
+#   * z @ [wr | ws]            — residual+skip in one matmul,
+#   * c_t @ vc_all             — ALL layers' local-cond projections in
+#     one [B,d]x[d,L*2R] matmul per step, off the layer-sequential path.
+# XLA hoists the repack out of the scan loop (loop-invariant).
 # ---------------------------------------------------------------------------
+
+
+class GenParams(NamedTuple):
+    """Generation-time weight repack (see note above)."""
+
+    emb_w: jax.Array     # [2, mu, R]
+    emb_b: jax.Array     # [R]
+    wff: jax.Array       # [L, 2R, 2R]   vstack(wf0, wf1)
+    vc_all: jax.Array    # [d, L*2R]
+    wrs: jax.Array       # [L, R, R+S]   hstack(wr, ws)
+    brs: jax.Array       # [L, R+S]
+    head_h1: jax.Array   # [S, S]
+    head_b1: jax.Array   # [S]
+    head_h2: jax.Array   # [S, mu]
+    head_b2: jax.Array   # [mu]
+
+
+def make_gen_params(dec: Dict, cfg: ModelConfig) -> GenParams:
+    cdt = cfg.cdtype
+    lay = dec["layers"]
+    L = cfg.n_layers_total
+    wf = lay["wf"].astype(cdt)                       # [L, 2, R, 2R]
+    wff = jnp.concatenate([wf[:, 0], wf[:, 1]], axis=1)  # [L, 2R, 2R]
+    vc = lay["vc"].astype(cdt)                       # [L, d, 2R]
+    vc_all = jnp.transpose(vc, (1, 0, 2)).reshape(cfg.d, -1)
+    wrs = jnp.concatenate([lay["wr"].astype(cdt),
+                           lay["ws"].astype(cdt)], axis=2)
+    brs = jnp.concatenate([lay["br"].astype(cdt),
+                           lay["bs"].astype(cdt)], axis=1)
+    return GenParams(
+        emb_w=dec["emb"]["w"].astype(cdt),
+        emb_b=dec["emb"]["b"].astype(cdt),
+        wff=wff, vc_all=vc_all, wrs=wrs, brs=brs,
+        head_h1=dec["head"]["h1"]["w"].astype(cdt),
+        head_b1=dec["head"]["h1"]["b"].astype(cdt),
+        head_h2=dec["head"]["h2"]["w"].astype(jnp.float32),
+        head_b2=dec["head"]["h2"]["b"].astype(jnp.float32),
+    )
 
 
 class GenState(NamedTuple):
@@ -178,23 +226,26 @@ def init_gen_state(cfg: ModelConfig, batch: int) -> GenState:
     )
 
 
-def decoder_step(params: Dict, cfg: ModelConfig, state: GenState,
+def decoder_step(gp: GenParams, cfg: ModelConfig, state: GenState,
                  x_t: jax.Array, c_t: jax.Array, gcond: jax.Array
                  ) -> Tuple[GenState, jax.Array]:
     """One autoregressive step.
 
     x_t ``[B]`` int32 current sample ids, c_t ``[B, d]`` local condition
-    at t, gcond ``[L, B, 2R]`` precomputed global contribution.
-    Returns (new state, logits ``[B, mu]`` for sample t+1).
+    at t, gcond ``[L, B, 2R]`` precomputed global contribution (with the
+    conv bias folded in).  Returns (new state, logits ``[B, mu]``).
     """
     R = cfg.residual_channels
     cdt = cfg.cdtype
-    lay = params["layers"]
     t = state.t
 
-    w_emb = params["emb"]["w"].astype(cdt)
-    h = w_emb[1][x_t] + state.prev_emb0 + params["emb"]["b"].astype(cdt)
-    new_prev_emb0 = w_emb[0][x_t]
+    h = gp.emb_w[1][x_t] + state.prev_emb0 + gp.emb_b
+    new_prev_emb0 = gp.emb_w[0][x_t]
+
+    # all layers' local-cond projections in one matmul, off the
+    # layer-sequential critical path
+    cproj = (c_t.astype(cdt) @ gp.vc_all).reshape(
+        x_t.shape[0], len(cfg.dilations), 2 * R)     # [B, L, 2R]
 
     new_bufs: List[jax.Array] = []
     skips = None
@@ -202,18 +253,19 @@ def decoder_step(params: Dict, cfg: ModelConfig, state: GenState,
         buf = state.bufs[li]
         slot = t & (dil - 1) if (dil & (dil - 1)) == 0 else t % dil
         past = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)[:, 0, :]
-        # t < dil -> left zero-pad region (buffer starts zeroed and slot
-        # still holds its initial zeros, matching shift_right's padding)
-        wf = lay["wf"][li].astype(cdt)
-        u = past @ wf[0] + h @ wf[1]
-        u = u + c_t.astype(cdt) @ lay["vc"][li].astype(cdt) + gcond[li]
+        # t < dil -> slot still holds its initial zeros, matching
+        # shift_right's causal zero padding
+        u = (jnp.concatenate([past, h], axis=-1) @ gp.wff[li]
+             + cproj[:, li] + gcond[li])
         new_bufs.append(jax.lax.dynamic_update_slice_in_dim(
             buf, h[:, None, :], slot, axis=1))
         z = _gate(u, R)
-        h = h + z @ lay["wr"][li].astype(cdt) + lay["br"][li].astype(cdt)
-        s = z @ lay["ws"][li].astype(cdt) + lay["bs"][li].astype(cdt)
-        skips = s if skips is None else skips + s
+        rs = z @ gp.wrs[li] + gp.brs[li]             # [B, R+S]
+        h = h + rs[:, :R]
+        skips = rs[:, R:] if skips is None else skips + rs[:, R:]
 
-    logits = _head(params, cfg, skips[:, None, :])[:, 0, :]
+    x = jax.nn.relu(skips)
+    x = jax.nn.relu(x @ gp.head_h1 + gp.head_b1)
+    logits = (x.astype(jnp.float32) @ gp.head_h2 + gp.head_b2)
     return GenState(t=t + 1, prev_emb0=new_prev_emb0,
                     bufs=tuple(new_bufs)), logits
