@@ -24,6 +24,10 @@ def main() -> None:
     p.add_argument("-s", "--speaker", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--gen-impl", default="lax",
+                   choices=["lax", "pallas"],
+                   help="AR decode engine: lax scan or fused Pallas "
+                        "kernel")
     p.add_argument("--greedy", action="store_true")
     args = p.parse_args()
 
@@ -33,7 +37,8 @@ def main() -> None:
     wav = decode_from_codes(params, cfg.model, codes,
                             jnp.asarray([args.speaker]),
                             jax.random.PRNGKey(args.seed),
-                            args.temperature, args.greedy)
+                            args.temperature, args.greedy,
+                            args.gen_impl)
     save_wav(args.output, np.asarray(wav)[0], cfg.data.sr)
     print(f"wrote {args.output}: {wav.shape[1]} samples")
 

@@ -29,6 +29,10 @@ def main() -> None:
                    help="global-condition speaker id")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--gen-impl", default="lax",
+                   choices=["lax", "pallas"],
+                   help="AR decode engine: lax scan or fused Pallas "
+                        "kernel")
     p.add_argument("--greedy", action="store_true",
                    help="argmax decoding instead of sampling")
     p.add_argument("--no-trim", action="store_true")
@@ -42,7 +46,7 @@ def main() -> None:
     out, codes = synthesize(
         params, cfg.model, jnp.asarray(wav)[None, :],
         jnp.asarray([args.speaker]), jax.random.PRNGKey(args.seed),
-        args.temperature, args.greedy)
+        args.temperature, args.greedy, args.gen_impl)
     save_wav(args.output, np.asarray(out)[0], cfg.data.sr)
     print(f"wrote {args.output}: {out.shape[1]} samples "
           f"({out.shape[1] / cfg.data.sr:.2f}s), "

@@ -37,15 +37,35 @@ from vqvae_tpu.models.wavenet import (
 )
 
 
-@partial(jax.jit, static_argnames=("cfg", "greedy"))
 def generate_ids(params: Dict, cfg: ModelConfig, cond: jax.Array,
                  speaker: jax.Array, key: jax.Array,
-                 temperature: float = 1.0, greedy: bool = False
-                 ) -> jax.Array:
+                 temperature: float = 1.0, greedy: bool = False,
+                 impl: str = "lax") -> jax.Array:
     """Sample ``[B, T]`` mu-law ids given local condition ``[B, T, d]``.
 
-    One fused scan over T steps; O(1) state per step (Fast-WaveNet).
+    impl='lax': one fused scan over T steps (O(1) state per step,
+    Fast-WaveNet).  impl='pallas': the whole loop in a single fused
+    kernel (kernels/decode_pallas) with weights and ring buffers pinned
+    in VMEM; sampling uses the in-kernel TPU PRNG (Gumbel-max), so the
+    JAX `key` is reduced to a seed.
     """
+    if impl == "pallas":
+        from vqvae_tpu.kernels.decode_pallas import generate_ids_pallas
+        dec = params["decoder"]
+        gp = make_gen_params(dec, cfg)
+        gcond = global_cond(dec, cfg, speaker)
+        seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+        return generate_ids_pallas(gp, cfg, cond, gcond, seed,
+                                   jnp.float32(temperature), greedy)
+    return _generate_ids_scan(params, cfg, cond, speaker, key,
+                              temperature, greedy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "greedy"))
+def _generate_ids_scan(params: Dict, cfg: ModelConfig, cond: jax.Array,
+                       speaker: jax.Array, key: jax.Array,
+                       temperature: float = 1.0, greedy: bool = False
+                       ) -> jax.Array:
     B, T, _ = cond.shape
     dec = params["decoder"]
     gp = make_gen_params(dec, cfg)
@@ -102,21 +122,21 @@ def encode_to_codes(params: Dict, cfg: ModelConfig, wav: jax.Array
 
 def decode_from_codes(params: Dict, cfg: ModelConfig, codes: jax.Array,
                       speaker: jax.Array, key: jax.Array,
-                      temperature: float = 1.0, greedy: bool = False
-                      ) -> jax.Array:
+                      temperature: float = 1.0, greedy: bool = False,
+                      impl: str = "lax") -> jax.Array:
     """Code ids ``[B, T_lat]`` -> float waveform ``[B, T_lat*hop]``
     ('decode' CLI; also the back half of 'generate')."""
     e = params["vq"]["codebook"][codes]                  # [B, T_lat, d]
     cond = upsample_cond(params["decoder"], cfg, e)
     ids = generate_ids(params, cfg, cond, speaker, key,
-                       temperature, greedy)
+                       temperature, greedy, impl)
     return mu_law_decode(ids, cfg.mu)
 
 
 def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
                speaker: jax.Array, key: jax.Array,
-               temperature: float = 1.0, greedy: bool = False
-               ) -> Tuple[jax.Array, jax.Array]:
+               temperature: float = 1.0, greedy: bool = False,
+               impl: str = "lax") -> Tuple[jax.Array, jax.Array]:
     """Full reference 'generate' pipeline: waveform -> codes -> waveform.
 
     Returns (reconstructed wav ``[B, T']``, codes ``[B, T'/hop]``) where
@@ -126,5 +146,5 @@ def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
     wav = mu_law_decode(mu_law_encode(wav[:, :T], cfg.mu), cfg.mu)
     codes = encode_to_codes(params, cfg, wav)
     out = decode_from_codes(params, cfg, codes, speaker, key,
-                            temperature, greedy)
+                            temperature, greedy, impl)
     return out, codes

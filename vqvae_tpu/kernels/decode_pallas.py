@@ -1,0 +1,302 @@
+"""Whole-loop fused AR decode kernel (Pallas/TPU) — the centrepiece.
+
+Reference equivalent: the per-sample Python loop over per-layer queues
+in ``net.py :: Decoder.generate`` / ``generate.py`` (SURVEY.md §3.2),
+whose pathology is a host<->device round trip per sample.  The lax.scan
+path (infer/fastgen.py) already removes the host; this kernel also
+removes XLA's per-op overhead inside the loop body:
+
+* ALL weights (repacked GenParams layout) are pinned in VMEM for the
+  whole generation — constant-index_map blocks are DMA'd once,
+* the per-layer ring buffers live in VMEM *scratch*, which persists
+  across the sequential chunk grid (packed [sum_dilations, B, R],
+  layer offsets static),
+* the local condition streams in chunk-by-chunk through the automatic
+  grid pipeline (HBM -> VMEM overlapped with compute),
+* sampling is in-kernel Gumbel-max over the TPU PRNG
+  (argmax(logits/temp + G), G = -log(-log U)) — ids never leave the
+  chip until the caller reads them.
+
+Two modes sharing one body:
+  sample=True  -> returns sampled ids [B, T]
+  sample=False -> teacher-forced: consumes ids [B, T], returns logits
+                  [T, B, mu] (the §4.2a parity oracle against
+                  apply_decoder / the lax scan).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqvae_tpu.configs import ModelConfig
+from vqvae_tpu.models.wavenet import GenParams
+
+CHUNK = 128  # AR steps per grid iteration
+
+
+def _offsets(cfg: ModelConfig) -> Tuple[Tuple[int, ...], int]:
+    offs, acc = [], 0
+    for d in cfg.dilations:
+        offs.append(acc)
+        acc += d
+    return tuple(offs), acc
+
+
+def _body(cfg: ModelConfig, sample: bool, greedy: bool,
+          # inputs
+          seed_ref, temp_ref, cond_ref, ids_in_ref,
+          wff_ref, wrs_ref, vc_ref, brs_ref,
+          emb0_ref, emb1_ref, embb_ref, gcond_ref,
+          h1_ref, b1_ref, h2_ref, b2_ref,
+          # outputs
+          out_ref,
+          # scratch
+          bufs_ref, xoh_ref, pe0_ref):
+    R = cfg.residual_channels
+    S = cfg.skip_channels
+    mu = cfg.mu
+    L = cfg.n_layers_total
+    cdt = wff_ref.dtype
+    offs, _ = _offsets(cfg)
+    dils = cfg.dilations
+    i = pl.program_id(0)
+    B = xoh_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init():
+        bufs_ref[:] = jnp.zeros(bufs_ref.shape, bufs_ref.dtype)
+        pe0_ref[:] = jnp.zeros(pe0_ref.shape, pe0_ref.dtype)
+        # seed stream starts from digital silence (id mu//2)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (B, mu), 1)
+        xoh_ref[:] = (iota == (mu // 2)).astype(cdt)
+
+    if sample and not greedy:
+        pltpu.prng_seed(seed_ref[0, 0] + i)
+
+    def step(s, _):
+        t = i * CHUNK + s
+        if sample:
+            # one-hot of the id sampled at step t-1 (init: mu//2)
+            xoh = xoh_ref[:]                               # [B, mu]
+        else:
+            # teacher forcing: the current input id comes from the
+            # given sequence, not the previous step's output
+            x_cur = ids_in_ref[pl.ds(s, 1)][0]             # [B, 1]
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (B, mu), 1)
+            xoh = (iota0 == x_cur).astype(cdt)
+        h = (jnp.dot(xoh, emb1_ref[:],
+                     preferred_element_type=jnp.float32).astype(cdt)
+             + pe0_ref[:] + embb_ref[:])                   # [B, R]
+        pe0_ref[:] = jnp.dot(xoh, emb0_ref[:],
+                             preferred_element_type=jnp.float32
+                             ).astype(cdt)
+
+        c_t = cond_ref[pl.ds(s, 1)][0]                     # [B, d]
+        cproj = jnp.dot(c_t, vc_ref[:],
+                        preferred_element_type=jnp.float32)  # [B, L*2R]
+
+        skips = jnp.zeros((B, S), cdt)
+        for li in range(L):
+            dil = dils[li]
+            slot = jax.lax.bitwise_and(t, dil - 1) if dil & (dil - 1) == 0 \
+                else jax.lax.rem(t, dil)
+            row = offs[li] + slot
+            past = bufs_ref[pl.ds(row, 1)][0]              # [B, R]
+            bufs_ref[pl.ds(row, 1)] = h[None]
+            ph = jnp.concatenate([past, h], axis=-1)       # [B, 2R]
+            # gate preactivation and nonlinearity in f32 (Mosaic's
+            # transcendentals are f32-only)
+            u = (jnp.dot(ph, wff_ref[li],
+                         preferred_element_type=jnp.float32)
+                 + cproj[:, li * 2 * R:(li + 1) * 2 * R]
+                 + gcond_ref[li].astype(jnp.float32))
+            z = (jnp.tanh(u[:, :R]) * jax.nn.sigmoid(u[:, R:])
+                 ).astype(cdt)
+            rs = jnp.dot(z, wrs_ref[li],
+                         preferred_element_type=jnp.float32
+                         ).astype(cdt) + brs_ref[li]
+            h = h + rs[:, :R]
+            skips = skips + rs[:, R:]
+
+        x = jax.nn.relu(skips)
+        x = jax.nn.relu(jnp.dot(x, h1_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + b1_ref[:].astype(jnp.float32)).astype(cdt)
+        logits = (jnp.dot(x.astype(jnp.float32), h2_ref[:],
+                          preferred_element_type=jnp.float32)
+                  + b2_ref[:])                             # [B, mu] f32
+
+        if sample:
+            if greedy:
+                y = logits
+            else:
+                bits = pltpu.prng_random_bits((B, mu))
+                # >>8 keeps 24 bits, which fit exactly in both int32
+                # and f32 mantissa (Mosaic lacks uint32->f32 casts)
+                u01 = (pltpu.bitcast(
+                    jax.lax.shift_right_logical(
+                        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
+                    jnp.int32).astype(jnp.float32) + 0.5) * (2.0 ** -24)
+                gumbel = -jnp.log(-jnp.log(u01))
+                y = logits / temp_ref[0, 0] + gumbel
+            x_next = jnp.argmax(y, axis=-1, keepdims=True)  # [B, 1]
+            out_ref[pl.ds(s, 1)] = x_next.astype(jnp.int32)[None]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B, mu), 1)
+            xoh_ref[:] = (iota == x_next).astype(cdt)
+        else:
+            out_ref[pl.ds(s, 1)] = logits[None]
+        # pe0_ref already holds emb0[x_t] for the next step (set above)
+        return _
+
+    jax.lax.fori_loop(0, CHUNK, step, None)
+
+
+def _pack_inputs(gp: GenParams, gcond: jax.Array, cfg: ModelConfig):
+    cdt = gp.wff.dtype
+    return (
+        gp.wff, gp.wrs, gp.vc_all, gp.brs,
+        gp.emb_w[0], gp.emb_w[1], gp.emb_b[None, :].astype(cdt),
+        gcond.astype(cdt),
+        gp.head_h1, gp.head_b1[None, :], gp.head_h2,
+        gp.head_b2[None, :],
+    )
+
+
+def _specs(cfg: ModelConfig, B: int, dtype) -> list:
+    R = cfg.residual_channels
+    S = cfg.skip_channels
+    L = cfg.n_layers_total
+    mu = cfg.mu
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    return [
+        const(L, 2 * R, 2 * R),      # wff
+        const(L, R, R + S),          # wrs
+        const(cfg.d, L * 2 * R),     # vc_all
+        const(L, R + S),             # brs
+        const(mu, R),                # emb0
+        const(mu, R),                # emb1
+        const(1, R),                 # emb_b
+        const(L, B, 2 * R),          # gcond
+        const(S, S),                 # head h1
+        const(1, S),                 # b1
+        const(S, mu),                # h2
+        const(1, mu),                # b2
+    ]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "greedy", "interpret"))
+def generate_ids_pallas(gp: GenParams, cfg: ModelConfig,
+                        cond: jax.Array, gcond: jax.Array,
+                        seed: jax.Array, temperature: jax.Array,
+                        greedy: bool = False,
+                        interpret: bool | None = None) -> jax.Array:
+    """Sample ``[B, T]`` ids. cond ``[B, T, d]``, gcond ``[L, B, 2R]``,
+    seed int32 scalar, temperature f32 scalar."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, d = cond.shape
+    _, total = _offsets(cfg)
+    Tp = T + ((-T) % CHUNK)
+    cond_tm = jnp.swapaxes(cond, 0, 1).astype(gp.wff.dtype)  # [T, B, d]
+    if Tp != T:
+        cond_tm = jnp.pad(cond_tm, ((0, Tp - T), (0, 0), (0, 0)))
+
+    grid = (Tp // CHUNK,)
+    kernel = functools.partial(_body, cfg, True, greedy)
+    ids = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Tp, B, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # seed
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # temperature
+            pl.BlockSpec((CHUNK, B, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # cond chunk
+            pl.BlockSpec((CHUNK, B, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # ids_in (unused)
+            *_specs(cfg, B, gp.wff.dtype),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, B, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((total, B, cfg.residual_channels), gp.wff.dtype),
+            pltpu.VMEM((B, cfg.mu), gp.wff.dtype),
+            pltpu.VMEM((B, cfg.residual_channels), gp.wff.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+        cond_tm,
+        jnp.zeros((Tp, B, 1), jnp.int32),
+        *_pack_inputs(gp, gcond, cfg),
+    )
+    return jnp.swapaxes(ids[:T, :, 0], 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def teacher_logits_pallas(gp: GenParams, cfg: ModelConfig,
+                          ids_in: jax.Array, cond: jax.Array,
+                          gcond: jax.Array,
+                          interpret: bool | None = None) -> jax.Array:
+    """Teacher-forced logits ``[B, T, mu]`` — parity oracle mode."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, d = cond.shape
+    _, total = _offsets(cfg)
+    Tp = T + ((-T) % CHUNK)
+    cond_tm = jnp.swapaxes(cond, 0, 1).astype(gp.wff.dtype)
+    ids_p = jnp.swapaxes(ids_in.astype(jnp.int32), 0, 1)[:, :, None]
+    if Tp != T:
+        cond_tm = jnp.pad(cond_tm, ((0, Tp - T), (0, 0), (0, 0)))
+        ids_p = jnp.pad(ids_p, ((0, Tp - T), (0, 0), (0, 0)))
+
+    grid = (Tp // CHUNK,)
+    kernel = functools.partial(_body, cfg, False, False)
+    logits = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Tp, B, cfg.mu), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK, B, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # teacher ids
+            *_specs(cfg, B, gp.wff.dtype),
+        ],
+        out_specs=pl.BlockSpec((CHUNK, B, cfg.mu), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((total, B, cfg.residual_channels), gp.wff.dtype),
+            pltpu.VMEM((B, cfg.mu), gp.wff.dtype),
+            pltpu.VMEM((B, cfg.residual_channels), gp.wff.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.ones((1, 1), jnp.float32),
+        cond_tm,
+        ids_p,
+        *_pack_inputs(gp, gcond, cfg),
+    )
+    return jnp.swapaxes(logits, 0, 1)[:, :T]
