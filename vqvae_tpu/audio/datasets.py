@@ -118,3 +118,18 @@ class SineDataset:
     def full(self, i: int) -> Tuple[np.ndarray, int]:
         rng = np.random.default_rng(i)
         return self.sample(rng)
+
+
+def train_valid_split(paths: Sequence[str], speaker_ids: Sequence[int],
+                      valid_fraction: float, seed: int = 0):
+    """Deterministic train/valid file split (reference: train.py's
+    slice of the shuffled file list)."""
+    n = len(paths)
+    idx = np.random.default_rng(seed).permutation(n)
+    n_valid = max(1, int(n * valid_fraction)) if valid_fraction > 0 \
+        else 0
+    vset = set(idx[:n_valid].tolist())
+    tr = [(paths[i], speaker_ids[i]) for i in range(n) if i not in vset]
+    va = [(paths[i], speaker_ids[i]) for i in range(n) if i in vset]
+    unzip = lambda ps: (list(p[0] for p in ps), list(p[1] for p in ps))
+    return unzip(tr), unzip(va)

@@ -55,11 +55,17 @@ def load_params(model_path: str, cfg: Config):
 
 
 def make_dataset(cfg: Config, kind: str, root: str | None = None):
+    """Returns (train_dataset, valid_dataset-or-None)."""
     if kind == "sine":
         from vqvae_tpu.audio.datasets import SineDataset
-        return SineDataset(cfg.data)
-    from vqvae_tpu.audio.datasets import WavDataset, scan_vctk
+        return SineDataset(cfg.data), SineDataset(cfg.data, f0=137.0)
+    from vqvae_tpu.audio.datasets import (WavDataset, scan_vctk,
+                                          train_valid_split)
     root = root or cfg.data.dataset_root
     paths, ids, spk_dict = scan_vctk(root, cfg.data.speaker)
-    print(f"dataset: {len(paths)} files, {len(spk_dict)} speakers")
-    return WavDataset(paths, ids, cfg.data)
+    (tp, ti), (vp, vi) = train_valid_split(
+        paths, ids, cfg.data.valid_fraction, cfg.data.seed)
+    print(f"dataset: {len(paths)} files ({len(tp)} train / {len(vp)} "
+          f"valid), {len(spk_dict)} speakers")
+    valid = WavDataset(vp, vi, cfg.data) if vp else None
+    return WavDataset(tp, ti, cfg.data), valid

@@ -29,6 +29,8 @@ def main() -> None:
                    help="'model' (tensor-parallel) mesh axis size")
     p.add_argument("--impl", default="lax", choices=["lax", "pallas"],
                    help="VQ kernel implementation")
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="validation evaluation interval (steps)")
     args = p.parse_args()
 
     cfg = resolve_config(args)
@@ -41,12 +43,14 @@ def main() -> None:
         tr["out_dir"] = args.out
     if args.mesh_model is not None:
         tr["mesh_model"] = args.mesh_model
+    if args.eval_every is not None:
+        tr["eval_every"] = args.eval_every
     if tr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
 
-    dataset = make_dataset(cfg, args.dataset, args.root)
+    dataset, valid = make_dataset(cfg, args.dataset, args.root)
     train(cfg, dataset, out_dir=cfg.train.out_dir, resume=args.resume,
-          impl=args.impl)
+          impl=args.impl, valid_dataset=valid)
 
 
 if __name__ == "__main__":

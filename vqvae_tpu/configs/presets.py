@@ -101,6 +101,8 @@ class TrainConfig:
     adam_eps: float = 1e-8
     num_steps: int = 200_000
     log_every: int = 100
+    eval_every: int = 0          # 0 disables validation evaluation
+    eval_batches: int = 4
     checkpoint_every: int = 2000
     keep_checkpoints: int = 5
     out_dir: str = "result"

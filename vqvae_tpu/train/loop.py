@@ -28,8 +28,8 @@ from vqvae_tpu.train.step import make_train_step
 
 def train(cfg: Config, dataset, out_dir: Optional[str] = None,
           resume: bool = False, num_steps: Optional[int] = None,
-          mesh=None, impl: str = "lax", echo: bool = True
-          ) -> TrainState:
+          mesh=None, impl: str = "lax", echo: bool = True,
+          valid_dataset=None) -> TrainState:
     """Run training; returns the final TrainState (fully replicated
     leaves stay sharded — use jax.device_get on what you need)."""
     out_dir = out_dir or cfg.train.out_dir
@@ -53,10 +53,30 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         start = int(jax.device_get(state.step))
 
     from vqvae_tpu.audio.loader import BatchLoader
+    from vqvae_tpu.train.step import make_eval_step
     loader = BatchLoader(dataset, cfg.train.batch_size,
                          seed=cfg.train.seed + start)
     logger = MetricsLogger(out_dir)
     bshard = batch_sharding(mesh)
+
+    eval_fn = None
+    if valid_dataset is not None and cfg.train.eval_every > 0:
+        eval_fn = make_eval_step(cfg, mesh, impl)
+
+    def run_eval(params):
+        rng = np.random.default_rng(cfg.train.seed + 777)
+        acc = None
+        for _ in range(cfg.train.eval_batches):
+            pairs = [valid_dataset.sample(rng)
+                     for _ in range(cfg.train.batch_size)]
+            wav = jax.device_put(np.stack([p[0] for p in pairs]), bshard)
+            spk = jax.device_put(
+                np.asarray([p[1] for p in pairs], np.int32), bshard)
+            m = jax.device_get(eval_fn(params, wav, spk))
+            acc = m if acc is None else \
+                {k: acc[k] + m[k] for k in acc}
+        return {f"val_{k}": v / cfg.train.eval_batches
+                for k, v in acc.items()}
 
     try:
         metrics = None
@@ -66,7 +86,11 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
             spk = jax.device_put(spk, bshard)
             state, metrics = step_fn(state, wav, spk)
             if (step + 1) % cfg.train.log_every == 0 or step == start:
-                logger.log(step + 1, jax.device_get(metrics), echo)
+                rec = dict(jax.device_get(metrics))
+                if eval_fn is not None and \
+                        (step + 1) % cfg.train.eval_every == 0:
+                    rec.update(run_eval(state.params))
+                logger.log(step + 1, rec, echo)
             if (step + 1) % cfg.train.checkpoint_every == 0:
                 save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
         if num_steps > start and (num_steps % cfg.train.checkpoint_every):

@@ -65,6 +65,24 @@ def train_step(state: TrainState, wav: jax.Array, speaker: jax.Array,
     return new_state, metrics
 
 
+def eval_step(params, wav: jax.Array, speaker: jax.Array,
+              cfg: Config, impl: str = "lax") -> dict:
+    """Validation forward (reference: the Evaluator extension over the
+    valid split — SURVEY.md §2.1 Training CLI row). Same fused forward,
+    no grads/update."""
+    batch = frame_batch(wav, speaker, cfg.model.mu)
+    _, (metrics, _) = forward(params, cfg.model, batch, impl)
+    return metrics
+
+
+def make_eval_step(cfg: Config, mesh, impl: str = "lax") -> Callable:
+    return jax.jit(
+        partial(eval_step, cfg=cfg, impl=impl),
+        in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
+
 def make_train_step(cfg: Config, mesh, impl: str = "lax"
                     ) -> Tuple[Callable, Callable]:
     """Returns (jitted step, state_shardings) for ``mesh``.

@@ -1,0 +1,46 @@
+"""Tracing / profiling (SURVEY.md §5.1).
+
+The reference has no profiler — only a ProgressBar iterations/sec
+display.  The TPU rebuild exposes:
+
+* ``profile_trace(dir)`` — context manager around ``jax.profiler``
+  producing a TensorBoard-compatible trace (xplane) of device + host
+  activity; view with ``tensorboard --logdir <dir>``.
+* ``StepTimer`` — cheap EMA wall-clock step timer for the console
+  (the ProgressBar equivalent, without a TTY dependency).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.ema = None
+        self._last = None
+
+    def tick(self) -> float | None:
+        """Call once per step; returns smoothed steps/sec (None on the
+        first call)."""
+        now = time.perf_counter()
+        if self._last is None:
+            self._last = now
+            return None
+        dt = now - self._last
+        self._last = now
+        self.ema = dt if self.ema is None else \
+            (1 - self.alpha) * self.ema + self.alpha * dt
+        return 1.0 / self.ema if self.ema else None
