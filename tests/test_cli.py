@@ -1,0 +1,71 @@
+"""End-to-end CLI smoke tests (tiny config, sine data, CPU): the four
+console entry points exercised exactly as a user would call them."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from vqvae_tpu.audio.wav_io import load_wav, save_wav
+
+
+def _run(main, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    main()
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """Train 4 steps on sine data via the CLI and return the run dir."""
+    out = str(tmp_path_factory.mktemp("clirun"))
+    from vqvae_tpu.cli.train import main
+    old = sys.argv
+    sys.argv = ["prog", "--preset", "tiny", "--dataset", "sine",
+                "--steps", "4", "--batch-size", "8", "--out", out]
+    try:
+        main()
+    finally:
+        sys.argv = old
+    return out
+
+
+def test_cli_train_artifacts(trained_run):
+    import os
+    assert os.path.exists(os.path.join(trained_run, "log.jsonl"))
+    assert os.path.isdir(os.path.join(trained_run, "checkpoints"))
+
+
+def test_cli_generate(trained_run, tmp_path, monkeypatch):
+    sr = 16000
+    t = np.arange(800) / sr
+    wav_in = str(tmp_path / "in.wav")
+    save_wav(wav_in, (0.5 * np.sin(2 * np.pi * 330 * t)
+                      ).astype(np.float32), sr)
+    out = str(tmp_path / "gen.wav")
+    from vqvae_tpu.cli.generate import main
+    _run(main, ["--preset", "tiny", "-i", wav_in, "-o", out,
+                "-m", trained_run, "-s", "1", "--no-trim"], monkeypatch)
+    w = load_wav(out, sr)
+    assert len(w) == 768  # cropped to hop multiple
+    assert np.all(np.isfinite(w))
+
+
+def test_cli_encode_decode(trained_run, tmp_path, monkeypatch):
+    sr = 16000
+    t = np.arange(800) / sr
+    wav_in = str(tmp_path / "in.wav")
+    save_wav(wav_in, (0.4 * np.sin(2 * np.pi * 220 * t)
+                      ).astype(np.float32), sr)
+    codes = str(tmp_path / "c.npy")
+    from vqvae_tpu.cli.encode import main as enc
+    _run(enc, ["--preset", "tiny", "-i", wav_in, "-o", codes,
+               "-m", trained_run, "--no-trim"], monkeypatch)
+    c = np.load(codes)
+    assert c.dtype == np.int32 and c.shape == (768 // 64,)
+
+    out = str(tmp_path / "dec.wav")
+    from vqvae_tpu.cli.decode import main as dec
+    _run(dec, ["--preset", "tiny", "-i", codes, "-o", out,
+               "-m", trained_run, "-s", "0", "--greedy"], monkeypatch)
+    w = load_wav(out, sr)
+    assert len(w) == 768 and np.all(np.isfinite(w))
