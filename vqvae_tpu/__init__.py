@@ -28,6 +28,23 @@ Reference parity map (expected reference files, see SURVEY.md §2.1):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: CLI/bench processes are short-lived
+# and the AR-decode scan costs tens of seconds to compile; cache
+# executables across invocations (set VQVAE_TPU_XLA_CACHE="" to disable).
+import os as _os  # noqa: E402
+
+_cache_dir = _os.environ.get(
+    "VQVAE_TPU_XLA_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "vqvae_tpu_xla"))
+if _cache_dir:
+    try:
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from vqvae_tpu.configs import (  # noqa: F401
     Config,
     DataConfig,

@@ -11,18 +11,6 @@ import os
 import jax
 
 from vqvae_tpu.configs import Config, get_config
-
-# Persistent XLA compilation cache: CLI processes are short-lived, and
-# the AR-decode scan costs tens of seconds to compile; cache it across
-# invocations (harmless if the dir is wiped).
-_cache_dir = os.environ.get(
-    "VQVAE_TPU_XLA_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "vqvae_tpu_xla"))
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # older jax without the knob — non-fatal
-    pass
 from vqvae_tpu.train.checkpoint import latest_step, restore_checkpoint
 from vqvae_tpu.train.state import create_train_state
 

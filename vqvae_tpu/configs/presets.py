@@ -62,6 +62,10 @@ class ModelConfig:
     # --- numerics ---
     compute_dtype: str = "bfloat16"  # matmul/conv dtype on TPU
     param_dtype: str = "float32"
+    remat: bool = False          # jax.checkpoint each decoder layer:
+    # trades recompute FLOPs for backward activation memory. Measured on
+    # v5e flagship: hurts throughput at B<=64 (compute-bound), so off by
+    # default; enable for memory-limited configs (long T / wide stacks)
 
     @property
     def dilations(self) -> Tuple[int, ...]:

@@ -127,15 +127,25 @@ def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
     h = embed_inputs(params, cfg, ids_in)
     cond = cond.astype(cdt)
     gcond = global_cond(params, cfg, speaker)        # [L, B, 2R]
-    skips = None
-    for li, dil in enumerate(cfg.dilations):
-        wf = lay["wf"][li].astype(cdt)               # [2, R, 2R]
-        u = shift_right(h, dil) @ wf[0] + h @ wf[1]
-        u = u + cond @ lay["vc"][li].astype(cdt) + gcond[li][:, None, :]
+
+    def layer(h, skips, wf, vc, gc, wr, br, ws, bs, dil):
+        u = shift_right(h, dil) @ wf[0].astype(cdt) + h @ wf[1].astype(cdt)
+        u = u + cond @ vc.astype(cdt) + gc[:, None, :]
         z = _gate(u, R)
-        h = h + z @ lay["wr"][li].astype(cdt) + lay["br"][li].astype(cdt)
-        s = z @ lay["ws"][li].astype(cdt) + lay["bs"][li].astype(cdt)
-        skips = s if skips is None else skips + s
+        h = h + z @ wr.astype(cdt) + br.astype(cdt)
+        return h, skips + z @ ws.astype(cdt) + bs.astype(cdt)
+
+    if cfg.remat:
+        # recompute the gate activations in the backward pass instead of
+        # keeping L x [B,T,2R] live in HBM (SURVEY.md §7: remat to trade
+        # FLOPs for HBM)
+        layer = jax.checkpoint(layer, static_argnums=(9,))
+
+    skips = jnp.zeros((h.shape[0], h.shape[1], cfg.skip_channels), cdt)
+    for li, dil in enumerate(cfg.dilations):
+        h, skips = layer(h, skips, lay["wf"][li], lay["vc"][li],
+                         gcond[li], lay["wr"][li], lay["br"][li],
+                         lay["ws"][li], lay["bs"][li], dil)
     return _head(params, cfg, skips)
 
 
