@@ -1,0 +1,55 @@
+"""Streaming synthesis == one-shot synthesis, bit-exact under greedy
+decoding (SURVEY.md §5.7: arbitrary length with constant memory)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_tpu.configs import get_config
+from vqvae_tpu.infer.fastgen import decode_from_codes
+from vqvae_tpu.infer.streaming import StreamingSynthesizer
+from vqvae_tpu.models import init_model
+
+CFG = get_config("tiny").model
+
+
+def _setup(T_lat=12, B=2):
+    params = init_model(jax.random.PRNGKey(0), CFG)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (B, T_lat),
+                               0, CFG.K)
+    spk = jnp.arange(B) % CFG.n_speakers
+    return params, codes, spk
+
+
+def test_streaming_matches_one_shot_greedy():
+    params, codes, spk = _setup()
+    key = jax.random.PRNGKey(2)
+    full = decode_from_codes(params, CFG, codes, spk, key, greedy=True)
+
+    s = StreamingSynthesizer(params, CFG, spk, key, greedy=True)
+    pieces = [s.push(codes[:, :5]), s.push(codes[:, 5:9]),
+              s.push(codes[:, 9:]), s.flush()]
+    streamed = jnp.concatenate(pieces, axis=1)
+    assert streamed.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(streamed), np.asarray(full))
+
+
+def test_streaming_single_frame_chunks():
+    params, codes, spk = _setup(T_lat=6)
+    key = jax.random.PRNGKey(3)
+    full = decode_from_codes(params, CFG, codes, spk, key, greedy=True)
+    s = StreamingSynthesizer(params, CFG, spk, key, greedy=True)
+    pieces = [s.push(codes[:, i:i + 1]) for i in range(6)] + [s.flush()]
+    streamed = jnp.concatenate(pieces, axis=1)
+    np.testing.assert_array_equal(np.asarray(streamed), np.asarray(full))
+
+
+def test_streaming_constant_state_size():
+    params, codes, spk = _setup(T_lat=8)
+    s = StreamingSynthesizer(params, CFG, spk, jax.random.PRNGKey(4))
+    sizes = []
+    for i in range(8):
+        s.push(codes[:, i:i + 1])
+        sizes.append(sum(b.size for b in s.state.bufs)
+                     + s._carry.size)
+    assert len(set(sizes)) == 1  # state never grows with output length

@@ -1,0 +1,123 @@
+"""Constant-memory streaming synthesis (SURVEY.md §5.7: the reference
+streams with O(1) queue state and arbitrary output length).
+
+``StreamingSynthesizer`` decodes VQ codes chunk-by-chunk: device state
+is the fixed-size ring-buffer GenState plus an ``hop``-sample
+overlap-add carry for the transposed-conv upsampler — memory is
+constant in total output length.
+
+Exactness: the full-sequence upsampler is a stride-``hop`` transposed
+conv with 'SAME' padding, which equals the 'VALID' transposed conv
+cropped by ``hop//2`` on each side.  'VALID' conv_transpose is linear
+and shift-invariant, so chunks compose by overlap-adding the trailing
+``hop`` samples; the conv bias is added once at emit time.  Greedy
+streaming output is therefore bit-identical to the one-shot path
+(tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vqvae_tpu.audio.mu_law import mu_law_decode
+from vqvae_tpu.configs import ModelConfig
+from vqvae_tpu.models.wavenet import (
+    GenState,
+    decoder_step,
+    global_cond,
+    init_gen_state,
+    make_gen_params,
+)
+
+
+@partial(jax.jit, static_argnames=("cfg", "greedy"))
+def _stream_chunk(gp, cfg: ModelConfig, state: GenState, x_t, key,
+                  cond_chunk, gcond, temperature=1.0,
+                  greedy: bool = False):
+    """Advance the decoder over one cond chunk, carrying state."""
+
+    def step(carry, c_t):
+        state, x_t, key = carry
+        state, logits = decoder_step(gp, cfg, state, x_t, c_t, gcond)
+        key, sub = jax.random.split(key)
+        if greedy:
+            x = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            x = jax.random.categorical(
+                sub, logits / temperature).astype(jnp.int32)
+        return (state, x, key), x
+
+    (state, x_t, key), ids = lax.scan(
+        step, (state, x_t, key), jnp.swapaxes(cond_chunk, 0, 1))
+    return state, x_t, key, jnp.swapaxes(ids, 0, 1)
+
+
+class StreamingSynthesizer:
+    """Push VQ code frames, pull waveform — constant device memory.
+
+    >>> s = StreamingSynthesizer(params, cfg, speaker, key)
+    >>> wav_pieces = [s.push(codes_chunk) for codes_chunk in chunks]
+    >>> wav_pieces.append(s.flush())
+    """
+
+    def __init__(self, params: Dict, cfg: ModelConfig,
+                 speaker: jax.Array, key: jax.Array,
+                 temperature: float = 1.0, greedy: bool = False):
+        self.cfg = cfg
+        self.gp = make_gen_params(params["decoder"], cfg)
+        self.codebook = params["vq"]["codebook"]
+        self.up_w = params["decoder"]["upsample"]["w"].astype(cfg.cdtype)
+        self.up_b = params["decoder"]["upsample"]["b"].astype(cfg.cdtype)
+        self.gcond = global_cond(params["decoder"], cfg, speaker)
+        self.temperature = temperature
+        self.greedy = greedy
+        self.key = key
+        B = speaker.shape[0]
+        self.state = init_gen_state(cfg, B)
+        self.x_t = jnp.full((B,), cfg.mu // 2, jnp.int32)
+        self._carry: Optional[jax.Array] = None   # [B, hop, d]
+        self._first = True
+
+    def _upsample_chunk(self, codes: jax.Array) -> jax.Array:
+        """VALID transposed conv + overlap-add; returns the cond samples
+        finalized by this chunk (C*hop, minus hop//2 on the first)."""
+        cfg = self.cfg
+        hop = cfg.hop
+        e = self.codebook[codes].astype(cfg.cdtype)       # [B, C, d]
+        v = lax.conv_transpose(
+            e, self.up_w, strides=(hop,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"))      # [B,(C+1)h,d]
+        C = codes.shape[1]
+        if self._carry is not None:
+            v = v.at[:, :hop].add(self._carry)
+        new_carry = v[:, C * hop:]
+        out = v[:, :C * hop]
+        if self._first:
+            out = out[:, hop // 2:]
+            self._first = False
+        self._carry = new_carry
+        return out + self.up_b
+
+    def push(self, codes: jax.Array) -> jax.Array:
+        """codes ``[B, C]`` -> waveform ``[B, ~C*hop]`` float32."""
+        cond = self._upsample_chunk(codes)
+        self.state, self.x_t, self.key, ids = _stream_chunk(
+            self.gp, self.cfg, self.state, self.x_t, self.key, cond,
+            self.gcond, self.temperature, self.greedy)
+        return mu_law_decode(ids, self.cfg.mu)
+
+    def flush(self) -> jax.Array:
+        """Emit the final ``hop - hop//2`` samples (the SAME-crop tail)."""
+        hop = self.cfg.hop
+        assert self._carry is not None, "flush before any push"
+        cond = self._carry[:, :hop - hop // 2] + self.up_b
+        self.state, self.x_t, self.key, ids = _stream_chunk(
+            self.gp, self.cfg, self.state, self.x_t, self.key, cond,
+            self.gcond, self.temperature, self.greedy)
+        self._carry = None
+        return mu_law_decode(ids, self.cfg.mu)
