@@ -11,6 +11,7 @@ reference itself publishes no numbers — BASELINE.json.published == {}).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -18,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 800_000.0  # 50x realtime @ 16 kHz
-SECONDS = 1.0
-BATCH = 256  # batched streams (BASELINE configs[3]/[4])
+SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
+BATCH = int(os.environ.get("BENCH_BATCH", 512))  # batched streams
 
 
 def main() -> None:

@@ -58,7 +58,7 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
           # outputs
           out_ref,
           # scratch
-          bufs_ref, xoh_ref, pe0_ref):
+          bufs_ref, xoh_ref, pe0_ref, gum_ref):
     R = cfg.residual_channels
     S = cfg.skip_channels
     mu = cfg.mu
@@ -78,7 +78,17 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
         xoh_ref[:] = (iota == (mu // 2)).astype(cdt)
 
     if sample and not greedy:
+        # Batch the whole chunk's Gumbel noise up front: the two VPU
+        # log()s run once over [CHUNK, B, mu] instead of sitting on the
+        # per-step critical path.  (>>8 keeps 24 bits, which fit exactly
+        # in both int32 and f32 mantissa; Mosaic lacks uint32->f32.)
         pltpu.prng_seed(seed_ref[0, 0] + i)
+        bits = pltpu.prng_random_bits((CHUNK, B, mu))
+        u01 = (pltpu.bitcast(
+            jax.lax.shift_right_logical(
+                pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
+            jnp.int32).astype(jnp.float32) + 0.5) * (2.0 ** -24)
+        gum_ref[:] = -jnp.log(-jnp.log(u01))
 
     def step(s, _):
         t = i * CHUNK + s
@@ -102,21 +112,32 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
         cproj = jnp.dot(c_t, vc_ref[:],
                         preferred_element_type=jnp.float32)  # [B, L*2R]
 
-        skips = jnp.zeros((B, S), cdt)
+        # Phase 1 — everything that does NOT depend on the layer chain:
+        # buffer reads and the past-tap matmuls (wff rows 0:R are the
+        # wf0 taps). These 30 dots are mutually independent, so the MXU
+        # pipelines them back-to-back instead of stalling per layer.
+        rows = []
+        base = []
         for li in range(L):
             dil = dils[li]
-            slot = jax.lax.bitwise_and(t, dil - 1) if dil & (dil - 1) == 0 \
-                else jax.lax.rem(t, dil)
+            slot = jax.lax.bitwise_and(t, dil - 1) \
+                if dil & (dil - 1) == 0 else jax.lax.rem(t, dil)
             row = offs[li] + slot
+            rows.append(row)
             past = bufs_ref[pl.ds(row, 1)][0]              # [B, R]
-            bufs_ref[pl.ds(row, 1)] = h[None]
-            ph = jnp.concatenate([past, h], axis=-1)       # [B, 2R]
-            # gate preactivation and nonlinearity in f32 (Mosaic's
-            # transcendentals are f32-only)
-            u = (jnp.dot(ph, wff_ref[li],
-                         preferred_element_type=jnp.float32)
-                 + cproj[:, li * 2 * R:(li + 1) * 2 * R]
-                 + gcond_ref[li].astype(jnp.float32))
+            pcon = jnp.dot(past, wff_ref[li, :R],
+                           preferred_element_type=jnp.float32)
+            base.append(pcon + cproj[:, li * 2 * R:(li + 1) * 2 * R]
+                        + gcond_ref[li].astype(jnp.float32))
+
+        # Phase 2 — the sequential chain: one matmul + gate + one
+        # matmul per layer (gate math in f32: Mosaic transcendentals
+        # are f32-only).
+        skips = jnp.zeros((B, S), cdt)
+        for li in range(L):
+            bufs_ref[pl.ds(rows[li], 1)] = h[None]
+            u = jnp.dot(h, wff_ref[li, R:],
+                        preferred_element_type=jnp.float32) + base[li]
             z = (jnp.tanh(u[:, :R]) * jax.nn.sigmoid(u[:, R:])
                  ).astype(cdt)
             rs = jnp.dot(z, wrs_ref[li],
@@ -137,15 +158,7 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
             if greedy:
                 y = logits
             else:
-                bits = pltpu.prng_random_bits((B, mu))
-                # >>8 keeps 24 bits, which fit exactly in both int32
-                # and f32 mantissa (Mosaic lacks uint32->f32 casts)
-                u01 = (pltpu.bitcast(
-                    jax.lax.shift_right_logical(
-                        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)),
-                    jnp.int32).astype(jnp.float32) + 0.5) * (2.0 ** -24)
-                gumbel = -jnp.log(-jnp.log(u01))
-                y = logits / temp_ref[0, 0] + gumbel
+                y = logits / temp_ref[0, 0] + gum_ref[pl.ds(s, 1)][0]
             x_next = jnp.argmax(y, axis=-1, keepdims=True)  # [B, 1]
             out_ref[pl.ds(s, 1)] = x_next.astype(jnp.int32)[None]
             iota = jax.lax.broadcasted_iota(jnp.int32, (B, mu), 1)
@@ -234,6 +247,7 @@ def generate_ids_pallas(gp: GenParams, cfg: ModelConfig,
             pltpu.VMEM((total, B, cfg.residual_channels), gp.wff.dtype),
             pltpu.VMEM((B, cfg.mu), gp.wff.dtype),
             pltpu.VMEM((B, cfg.residual_channels), gp.wff.dtype),
+            pltpu.VMEM((CHUNK, B, cfg.mu), jnp.float32),  # gumbel
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
@@ -288,6 +302,7 @@ def teacher_logits_pallas(gp: GenParams, cfg: ModelConfig,
             pltpu.VMEM((total, B, cfg.residual_channels), gp.wff.dtype),
             pltpu.VMEM((B, cfg.mu), gp.wff.dtype),
             pltpu.VMEM((B, cfg.residual_channels), gp.wff.dtype),
+            pltpu.VMEM((CHUNK, B, cfg.mu), jnp.float32),  # gumbel
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
