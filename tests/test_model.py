@@ -156,3 +156,32 @@ def test_ema_update_moves_codebook_toward_assignments():
     # row 3 moves toward the assigned cluster mean
     assert float(jnp.dot(moved, (z[0] - params["codebook"][3]))) > 0
     assert new_state.count[3] > state.count[3]
+
+
+def test_code_perplexity():
+    from vqvae_tpu.models.vq import code_perplexity
+    # uniform usage over 4 codes -> perplexity 4
+    idx = jnp.array([0, 1, 2, 3] * 8)
+    assert abs(float(code_perplexity(idx, 8)) - 4.0) < 1e-4
+    # collapsed usage -> perplexity 1
+    idx = jnp.zeros((32,), jnp.int32)
+    assert abs(float(code_perplexity(idx, 8)) - 1.0) < 1e-4
+
+
+def test_restart_dead_codes():
+    from vqvae_tpu.models.vq import restart_dead_codes
+    import dataclasses
+    cfg = dataclasses.replace(CFG, ema=True, code_restart_threshold=0.5)
+    params = init_vq(_rng(20), cfg)
+    state = init_vq_state(params)
+    # mark half the codes dead, half alive
+    count = jnp.where(jnp.arange(cfg.K) < cfg.K // 2, 0.0, 10.0)
+    state = state._replace(count=count)
+    z = jax.random.normal(_rng(21), (100, cfg.d)) + 5.0  # recognisable
+    new_params, new_state = restart_dead_codes(
+        params, state, z, _rng(22), cfg)
+    cb = new_params["codebook"]
+    # dead rows re-seeded near the z cluster (mean ~5), alive untouched
+    assert float(jnp.mean(cb[: cfg.K // 2])) > 3.0
+    assert jnp.allclose(cb[cfg.K // 2:], params["codebook"][cfg.K // 2:])
+    assert float(new_state.count[0]) == 0.5

@@ -49,6 +49,11 @@ class ModelConfig:
     ema: bool = False            # EMA codebook updates (stretch config)
     ema_decay: float = 0.99
     ema_eps: float = 1e-5
+    # dead-code restart (EMA mode): codebook rows whose EMA usage count
+    # falls below this are re-seeded from random encoder outputs of the
+    # current batch. 0 disables. Not in the reference — standard
+    # production mitigation for codebook collapse.
+    code_restart_threshold: float = 0.0
     # --- WaveNet decoder ---
     n_loop: int = 3              # dilation-cycle repeats
     n_layer: int = 10            # layers per cycle; dilations 1,2,4,...,2**(n-1)
@@ -162,7 +167,7 @@ def _fastgen() -> Config:
 
 def _stretch() -> Config:
     """BASELINE configs[4]: EMA codebook + 30-layer WaveNet + batch 64."""
-    model = ModelConfig(ema=True)
+    model = ModelConfig(ema=True, code_restart_threshold=1e-3)
     train = TrainConfig(batch_size=64)
     return Config(model=model, train=train, name="stretch")
 

@@ -109,3 +109,32 @@ def ema_update(params: Dict, state: VQState, z: jax.Array,
     stable = (count + cfg.ema_eps) / (n + cfg.K * cfg.ema_eps) * n
     codebook = (total / stable[:, None]).astype(params["codebook"].dtype)
     return {"codebook": codebook}, VQState(count=count, sum=total)
+
+
+def restart_dead_codes(params: Dict, state: VQState, z: jax.Array,
+                       key: jax.Array, cfg: ModelConfig
+                       ) -> Tuple[Dict, VQState]:
+    """Re-seed codebook rows whose EMA usage dropped below
+    ``cfg.code_restart_threshold`` with random encoder outputs from the
+    current batch (classic anti-collapse move; jit-safe arithmetic)."""
+    thr = cfg.code_restart_threshold
+    z = jax.lax.stop_gradient(z.reshape(-1, z.shape[-1])
+                              .astype(jnp.float32))
+    picks = jax.random.randint(key, (cfg.K,), 0, z.shape[0])
+    candidates = z[picks]                                # [K, d]
+    dead = state.count < thr                             # [K]
+    codebook = jnp.where(dead[:, None],
+                         candidates.astype(params["codebook"].dtype),
+                         params["codebook"])
+    # reset the EMA stats of restarted rows so they adapt quickly
+    count = jnp.where(dead, jnp.full_like(state.count, thr), state.count)
+    total = jnp.where(dead[:, None], candidates * thr, state.sum)
+    return {"codebook": codebook}, VQState(count=count, sum=total)
+
+
+def code_perplexity(idx: jax.Array, K: int) -> jax.Array:
+    """exp(entropy) of the batch code-usage distribution — the standard
+    VQ codebook-health metric (K == fully uniform usage)."""
+    onehot = jax.nn.one_hot(idx.reshape(-1), K, dtype=jnp.float32)
+    p = jnp.mean(onehot, axis=0)
+    return jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))

@@ -75,8 +75,8 @@ def forward(params: Dict, cfg: ModelConfig, batch: Batch,
     else:
         loss = loss1 + loss2 + cfg.beta * loss3
 
-    # codebook usage: fraction of codes hit in this batch (not in the
-    # reference's reports, but the standard VQ health metric)
+    # codebook health: hit fraction + usage perplexity (not in the
+    # reference's reports, but standard VQ metrics)
     used = jnp.zeros((cfg.K,), jnp.float32).at[idx.reshape(-1)].set(1.0)
     metrics = {
         "loss": loss,
@@ -84,6 +84,7 @@ def forward(params: Dict, cfg: ModelConfig, batch: Batch,
         "loss2": loss2,
         "loss3": loss3,
         "codebook_usage": jnp.mean(used),
+        "code_perplexity": vq_mod.code_perplexity(idx, cfg.K),
     }
     aux = {"indices": idx, "z": z}
     return loss, (metrics, aux)

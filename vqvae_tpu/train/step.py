@@ -58,6 +58,12 @@ def train_step(state: TrainState, wav: jax.Array, speaker: jax.Array,
         # stops it); overwrite with the EMA estimate
         new_vq, vq_state = ema_update(params["vq"], state.vq_state,
                                       aux["z"], aux["indices"], mcfg)
+        if mcfg.code_restart_threshold > 0:
+            from vqvae_tpu.models.vq import restart_dead_codes
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.train.seed + 101), state.step)
+            new_vq, vq_state = restart_dead_codes(
+                new_vq, vq_state, aux["z"], key, mcfg)
         params = dict(params, vq=new_vq)
 
     new_state = TrainState(step=state.step + 1, params=params,
