@@ -1,0 +1,27 @@
+"""utils/ tests: profiling trace + step timer."""
+
+import os
+import time
+
+from vqvae_tpu.utils import StepTimer, profile_trace
+
+
+def test_step_timer():
+    t = StepTimer(alpha=1.0)
+    assert t.tick() is None
+    time.sleep(0.01)
+    r = t.tick()
+    assert r is not None and 1 < r < 1000
+
+
+def test_profile_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    d = str(tmp_path / "prof")
+    with profile_trace(d):
+        jnp.sum(jnp.ones((128, 128))).block_until_ready()
+    # a trace directory with xplane artifacts exists
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "no profiler artifacts written"
