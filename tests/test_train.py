@@ -160,3 +160,25 @@ def test_export_weights(tmp_path):
     z = np.load(p)
     assert any("codebook" in k for k in z.files)
     assert any(k.startswith("decoder/") for k in z.files)
+
+
+def test_full_fidelity_resume_including_data_stream(tmp_path):
+    """train() resumed at step N reproduces the straight run exactly —
+    params AND data stream (reference parity: trainer snapshot restores
+    iterator position, SURVEY.md §3.5)."""
+    from vqvae_tpu.audio.datasets import SineDataset
+    cfg = _cfg(batch_size=8, num_steps=4, log_every=10,
+               checkpoint_every=2)
+    ds = SineDataset(cfg.data)
+    straight = train(cfg, ds, out_dir=str(tmp_path / "a"), echo=False)
+    # second run: stop at 2 (checkpoint), then resume to 4
+    cfg2 = _cfg(batch_size=8, num_steps=2, log_every=10,
+                checkpoint_every=2)
+    train(cfg2, ds, out_dir=str(tmp_path / "b"), echo=False)
+    resumed = train(cfg, ds, out_dir=str(tmp_path / "b"), resume=True,
+                    echo=False)
+    a = jax.device_get(straight.params)
+    b = jax.device_get(resumed.params)
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)

@@ -54,8 +54,11 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
 
     from vqvae_tpu.audio.loader import BatchLoader
     from vqvae_tpu.train.step import make_eval_step
+    # deterministic, resumable stream: batch i is a pure function of
+    # (seed, i); resuming at step N replays exactly what a straight run
+    # would have seen (reference parity: iterator-position restore)
     loader = BatchLoader(dataset, cfg.train.batch_size,
-                         seed=cfg.train.seed + start)
+                         seed=cfg.train.seed, start_batch=start)
     logger = MetricsLogger(out_dir)
     bshard = batch_sharding(mesh)
 
