@@ -31,6 +31,8 @@ def main() -> None:
                    help="VQ kernel implementation")
     p.add_argument("--eval-every", type=int, default=None,
                    help="validation evaluation interval (steps)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalars to <out>/tb")
     args = p.parse_args()
 
     cfg = resolve_config(args)
@@ -45,6 +47,8 @@ def main() -> None:
         tr["mesh_model"] = args.mesh_model
     if args.eval_every is not None:
         tr["eval_every"] = args.eval_every
+    if args.tensorboard:
+        tr["tensorboard"] = True
     if tr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
 

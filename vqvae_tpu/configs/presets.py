@@ -114,6 +114,7 @@ class TrainConfig:
     eval_batches: int = 4
     checkpoint_every: int = 2000
     keep_checkpoints: int = 5
+    tensorboard: bool = False    # also mirror metrics to TB scalars
     out_dir: str = "result"
     seed: int = 0
     # device mesh axis sizes; data axis is padded with -1 = "all remaining"

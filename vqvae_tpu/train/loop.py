@@ -59,7 +59,8 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     # would have seen (reference parity: iterator-position restore)
     loader = BatchLoader(dataset, cfg.train.batch_size,
                          seed=cfg.train.seed, start_batch=start)
-    logger = MetricsLogger(out_dir)
+    logger = MetricsLogger(out_dir,
+                           tensorboard=cfg.train.tensorboard)
     bshard = batch_sharding(mesh)
 
     eval_fn = None

@@ -18,7 +18,8 @@ from typing import Dict, Iterable
 class MetricsLogger:
     def __init__(self, out_dir: str,
                  print_keys: Iterable[str] = ("loss", "loss1", "loss2",
-                                              "loss3", "codebook_usage")):
+                                              "loss3", "codebook_usage"),
+                 tensorboard: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "log.jsonl")
         self._f = open(self.path, "a")
@@ -26,6 +27,14 @@ class MetricsLogger:
         self._header_printed = False
         self._t_last = time.time()
         self._step_last = None
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(out_dir, "tb"))
+            except ImportError:
+                pass
 
     def log(self, step: int, metrics: Dict[str, float],
             echo: bool = True) -> None:
@@ -39,6 +48,13 @@ class MetricsLogger:
         self._t_last, self._step_last = now, step
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            with self._tb.as_default():
+                import tensorflow as tf
+                for k, v in rec.items():
+                    if k != "iteration":
+                        tf.summary.scalar(k, v, step=int(step))
+                self._tb.flush()
         if echo:
             self._echo(rec)
 
@@ -83,4 +99,6 @@ class MetricsLogger:
         plt.close(fig)
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
         self._f.close()
