@@ -5,7 +5,6 @@ and ``generate.py`` — SURVEY.md §2.1)."""
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 import jax

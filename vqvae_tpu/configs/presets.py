@@ -12,7 +12,7 @@ Named presets correspond to BASELINE.json ``configs[]``:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

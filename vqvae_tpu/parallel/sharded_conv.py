@@ -12,7 +12,6 @@ left-padding exactly, so the sharded op is numerically identical to
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax

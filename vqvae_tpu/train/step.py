@@ -14,9 +14,8 @@ from functools import partial
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
-from vqvae_tpu.audio.framing import Batch, frame_batch
+from vqvae_tpu.audio.framing import frame_batch
 from vqvae_tpu.configs import Config
 from vqvae_tpu.models import forward
 from vqvae_tpu.models.vq import ema_update
