@@ -33,6 +33,8 @@ def main() -> None:
                    help="validation evaluation interval (steps)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard scalars to <out>/tb")
+    p.add_argument("--profile", type=int, default=None, metavar="N",
+                   help="jax.profiler-trace N steps to <out>/profile")
     args = p.parse_args()
 
     cfg = resolve_config(args)
@@ -49,6 +51,8 @@ def main() -> None:
         tr["eval_every"] = args.eval_every
     if args.tensorboard:
         tr["tensorboard"] = True
+    if args.profile is not None:
+        tr["profile_steps"] = args.profile
     if tr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
 

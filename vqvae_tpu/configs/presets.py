@@ -115,6 +115,7 @@ class TrainConfig:
     checkpoint_every: int = 2000
     keep_checkpoints: int = 5
     tensorboard: bool = False    # also mirror metrics to TB scalars
+    profile_steps: int = 0       # trace steps [10, 10+N) to <out>/profile
     out_dir: str = "result"
     seed: int = 0
     # device mesh axis sizes; data axis is padded with -1 = "all remaining"

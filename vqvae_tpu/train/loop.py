@@ -82,13 +82,20 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         return {f"val_{k}": v / cfg.train.eval_batches
                 for k, v in acc.items()}
 
+    prof = cfg.train.profile_steps
     try:
         metrics = None
         for step in range(start, num_steps):
+            if prof and step == start + 10:
+                jax.profiler.start_trace(os.path.join(out_dir, "profile"))
             wav, spk = next(loader)
             wav = jax.device_put(wav, bshard)
             spk = jax.device_put(spk, bshard)
             state, metrics = step_fn(state, wav, spk)
+            if prof and step == start + 10 + prof - 1:
+                jax.device_get(metrics["loss"])
+                jax.profiler.stop_trace()
+                prof = 0
             if (step + 1) % cfg.train.log_every == 0 or step == start:
                 rec = dict(jax.device_get(metrics))
                 if eval_fn is not None and \
