@@ -182,3 +182,22 @@ def test_full_fidelity_resume_including_data_stream(tmp_path):
     for la, lb in zip(jax.tree_util.tree_leaves(a),
                       jax.tree_util.tree_leaves(b)):
         np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
+
+
+def test_weights_npz_round_trip(tmp_path):
+    """export_weights -> load_weights_npz reproduces params exactly,
+    and the CLI loader accepts a .npz path."""
+    from vqvae_tpu.train.checkpoint import load_weights_npz
+    cfg = _cfg()
+    state = create_train_state(jax.random.PRNGKey(3), cfg)
+    p = str(tmp_path / "w.npz")
+    export_weights(p, state.params)
+    back = load_weights_npz(p, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    from vqvae_tpu.cli.common import load_params
+    params = load_params(p, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["vq"]["codebook"]),
+        np.asarray(state.params["vq"]["codebook"]))

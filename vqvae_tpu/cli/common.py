@@ -31,7 +31,15 @@ def checkpoint_dir(model_path: str) -> str:
 
 
 def load_params(model_path: str, cfg: Config):
-    """Restore model params from a training run directory."""
+    """Restore model params from a training run directory, or from a
+    weights-only .npz produced by export_weights (the reference's
+    ``snapshot_object`` path)."""
+    if model_path.endswith(".npz"):
+        from vqvae_tpu.train.checkpoint import load_weights_npz
+        template = create_train_state(jax.random.PRNGKey(0), cfg).params
+        params = load_weights_npz(model_path, template)
+        print(f"loaded weights-only snapshot {model_path}")
+        return params
     ckpt = checkpoint_dir(model_path)
     step = latest_step(ckpt)
     assert step is not None, f"no checkpoint found under {model_path}"

@@ -68,3 +68,20 @@ def export_weights(path: str, params: Any) -> None:
                        for k in kp): np.asarray(jax.device_get(v))
               for kp, v in flat}
     np.savez(path, **arrays)
+
+
+def load_weights_npz(path: str, template: Any) -> Any:
+    """Load a weights-only .npz back into the structure of ``template``
+    (reference: ``load_npz`` of a ``snapshot_object`` — the generator
+    CLI's lightweight model-only load path)."""
+    z = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, t in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        assert key in z.files, f"missing weight {key} in {path}"
+        a = z[key]
+        assert a.shape == t.shape, (key, a.shape, t.shape)
+        leaves.append(jax.numpy.asarray(a, t.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
