@@ -64,13 +64,20 @@ def _spec_for(path: str, x: Any, model_size: int) -> P:
     return P()
 
 
+def _key_str(k) -> str:
+    # DictKey has .key, SequenceKey .idx, GetAttrKey (NamedTuple) .name
+    for attr in ("key", "idx", "name"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding pytree mirroring ``params``."""
     model_size = mesh.shape["model"]
 
     def walk(path, x):
-        keys = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                        for k in path)
+        keys = "/".join(_key_str(k) for k in path)
         return NamedSharding(mesh, _spec_for(keys, x, model_size))
 
     return jax.tree_util.tree_map_with_path(walk, params)
