@@ -185,3 +185,25 @@ def test_restart_dead_codes():
     assert float(jnp.mean(cb[: cfg.K // 2])) > 3.0
     assert jnp.allclose(cb[cfg.K // 2:], params["codebook"][cfg.K // 2:])
     assert float(new_state.count[0]) == 0.5
+
+
+def test_remat_matches_no_remat():
+    """remat=True recomputes but must not change values or break grads."""
+    import dataclasses
+    cfg_a = CFG
+    cfg_b = dataclasses.replace(CFG, remat=True)
+    params = init_model(_rng(30), cfg_a)
+    ids = jax.random.randint(_rng(31), (2, 128), 0, cfg_a.mu)
+    cond = jax.random.normal(_rng(32), (2, 128, cfg_a.d))
+    spk = jnp.array([0, 1])
+    la = apply_decoder(params["decoder"], cfg_a, ids, cond, spk)
+    lb = apply_decoder(params["decoder"], cfg_b, ids, cond, spk)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p):
+        return jnp.mean(apply_decoder(p, cfg_b, ids, cond, spk) ** 2)
+
+    g = jax.grad(loss)(params["decoder"])
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(g))

@@ -53,3 +53,16 @@ def test_streaming_constant_state_size():
         sizes.append(sum(b.size for b in s.state.bufs)
                      + s._carry.size)
     assert len(set(sizes)) == 1  # state never grows with output length
+
+
+def test_streaming_sampling_mode_valid():
+    """Sampling mode: chunked RNG differs from one-shot by design, but
+    output must be valid audio with the right shape."""
+    params, codes, spk = _setup(T_lat=8)
+    s = StreamingSynthesizer(params, CFG, spk, jax.random.PRNGKey(9),
+                             temperature=0.9)
+    pieces = [s.push(codes[:, :4]), s.push(codes[:, 4:]), s.flush()]
+    wav = jnp.concatenate(pieces, axis=1)
+    assert wav.shape == (2, 8 * CFG.hop)
+    assert bool(jnp.all(jnp.isfinite(wav)))
+    assert float(jnp.max(jnp.abs(wav))) <= 1.0
