@@ -20,7 +20,7 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 800_000.0  # 50x realtime @ 16 kHz
 SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
-BATCH = int(os.environ.get("BENCH_BATCH", 512))  # batched streams
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))  # batched streams
 
 
 def main() -> None:
