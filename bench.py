@@ -25,7 +25,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 2048))  # batched streams
 
 def main() -> None:
     from vqvae_tpu.configs import get_config
-    from vqvae_tpu.infer.fastgen import decode_from_codes
+    from vqvae_tpu.infer.lowmem import decode_from_codes_lowmem
     from vqvae_tpu.models import init_model
 
     cfg = get_config("vctk-multi").model  # flagship: 30-layer WaveNet
@@ -42,15 +42,18 @@ def main() -> None:
 
     # compile + warmup; NOTE: on the axon TPU platform
     # block_until_ready() does not reliably block, so every sync below
-    # goes through jax.device_get (host copy), which provably does
-    out = decode_from_codes(params, cfg, codes, speaker, key)
+    # goes through jax.device_get (host copy), which provably does.
+    # decode_from_codes_lowmem computes the audio-rate condition
+    # chunk-by-chunk inside the scan (docs/PERF.md) — both faster and
+    # the enabler for B >= 2048.
+    out = decode_from_codes_lowmem(params, cfg, codes, speaker, key)
     jax.device_get(out)
 
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
-        out = decode_from_codes(params, cfg, codes, speaker,
-                                jax.random.PRNGKey(i))
+        out = decode_from_codes_lowmem(params, cfg, codes, speaker,
+                                       jax.random.PRNGKey(i))
         jax.device_get(out[:, -1])
     dt = (time.perf_counter() - t0) / runs
 

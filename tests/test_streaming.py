@@ -66,3 +66,19 @@ def test_streaming_sampling_mode_valid():
     assert wav.shape == (2, 8 * CFG.hop)
     assert bool(jnp.all(jnp.isfinite(wav)))
     assert float(jnp.max(jnp.abs(wav))) <= 1.0
+
+
+def test_lowmem_matches_one_shot_greedy():
+    """Chunked-cond nested-scan generation == one-shot path exactly
+    (greedy), including a T not divisible by the chunk."""
+    from vqvae_tpu.infer.lowmem import decode_from_codes_lowmem
+    params, codes, spk = _setup(T_lat=12)  # T=768, chunk=256 -> 3 chunks
+    key = jax.random.PRNGKey(5)
+    full = decode_from_codes(params, CFG, codes, spk, key, greedy=True)
+    low = decode_from_codes_lowmem(params, CFG, codes, spk, key,
+                                   greedy=True, chunk_samples=256)
+    np.testing.assert_array_equal(np.asarray(low), np.asarray(full))
+    # non-divisible: T=768 with chunk 512 -> padded final chunk
+    low2 = decode_from_codes_lowmem(params, CFG, codes, spk, key,
+                                    greedy=True, chunk_samples=512)
+    np.testing.assert_array_equal(np.asarray(low2), np.asarray(full))
