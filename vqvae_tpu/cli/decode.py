@@ -25,9 +25,9 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--gen-impl", default="lax",
-                   choices=["lax", "pallas"],
-                   help="AR decode engine: lax scan or fused Pallas "
-                        "kernel")
+                   choices=["lax", "pallas", "lowmem"],
+                   help="AR decode engine: lax scan, fused Pallas "
+                        "kernel, or chunked-cond low-memory scan")
     p.add_argument("--greedy", action="store_true")
     args = p.parse_args()
 

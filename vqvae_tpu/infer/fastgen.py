@@ -126,10 +126,15 @@ def decode_from_codes(params: Dict, cfg: ModelConfig, codes: jax.Array,
                       impl: str = "lax") -> jax.Array:
     """Code ids ``[B, T_lat]`` -> float waveform ``[B, T_lat*hop]``
     ('decode' CLI; also the back half of 'generate')."""
-    e = params["vq"]["codebook"][codes]                  # [B, T_lat, d]
-    cond = upsample_cond(params["decoder"], cfg, e)
-    ids = generate_ids(params, cfg, cond, speaker, key,
-                       temperature, greedy, impl)
+    if impl == "lowmem":
+        from vqvae_tpu.infer.lowmem import generate_ids_lowmem
+        ids = generate_ids_lowmem(params, cfg, codes, speaker, key,
+                                  temperature, greedy)
+    else:
+        e = params["vq"]["codebook"][codes]              # [B, T_lat, d]
+        cond = upsample_cond(params["decoder"], cfg, e)
+        ids = generate_ids(params, cfg, cond, speaker, key,
+                           temperature, greedy, impl)
     return mu_law_decode(ids, cfg.mu)
 
 
