@@ -42,8 +42,8 @@ def test_mesh_shapes():
 def test_param_shardings_model_axis():
     cfg = get_config("tiny")
     mesh = make_mesh(model=2)
-    params = create_train_state(jax.random.PRNGKey(0), cfg).params
-    sh = param_shardings(mesh, params)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = param_shardings(mesh, state.params)
     # stacked WaveNet weights shard on the trailing channel axis
     wf_spec = sh["decoder"]["layers"]["wf"].spec
     assert wf_spec == P(None, None, None, "model")
@@ -51,6 +51,12 @@ def test_param_shardings_model_axis():
     assert sh["vq"]["codebook"].spec == P("model")
     # 1-channel first conv replicates its bias
     assert sh["encoder"]["layers"][0]["b"].spec in (P(), P("model"))
+    # EMA accumulators shard along K, consistent with the codebook
+    # (VQState keys are top-level NamedTuple fields — no '/' in the
+    # path string, the round-1 rule's blind spot)
+    vsh = param_shardings(mesh, state.vq_state)
+    assert vsh.sum.spec == P("model")
+    assert vsh.count.spec == P("model")
 
 
 def _run_step(cfg, mesh):
@@ -77,3 +83,26 @@ def test_dp_tp_mesh_full_step():
     # sharded param remains addressable and finite
     cb = jax.device_get(state.params["vq"]["codebook"])
     assert np.all(np.isfinite(cb))
+
+
+def test_ema_dp_tp_mesh_matches_dp():
+    """EMA codebook + dead-code restart on the 4x2 mesh: codebook and
+    EMA accumulators match the pure-DP run (the K-sharded count/sum
+    rule is exercised end-to-end)."""
+    cfg = _cfg()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, ema=True, code_restart_threshold=1e-3))
+    m_dp, s_dp = _run_step(cfg, make_mesh())            # 8x1
+    m_tp, s_tp = _run_step(cfg, make_mesh(model=2))     # 4x2
+    for k in ("loss", "loss1", "loss3"):
+        assert abs(m_dp[k] - m_tp[k]) < 1e-4, k
+    np.testing.assert_allclose(
+        jax.device_get(s_dp.params["vq"]["codebook"]),
+        jax.device_get(s_tp.params["vq"]["codebook"]),
+        rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(jax.device_get(s_dp.vq_state.count),
+                               jax.device_get(s_tp.vq_state.count),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(jax.device_get(s_dp.vq_state.sum),
+                               jax.device_get(s_tp.vq_state.sum),
+                               rtol=2e-5, atol=2e-5)

@@ -64,23 +64,37 @@ def test_train_step_runs_and_loss_drops():
     assert int(jax.device_get(state.step)) == 30
 
 
-def test_dp_matches_single_device():
+@pytest.mark.parametrize("ema,restart", [(False, 0.0), (True, 0.0),
+                                          (True, 1e-3)])
+def test_dp_matches_single_device(ema, restart):
     """Same data, same init: 8-way DP must produce the same update as
-    one device (XLA psum == serial sum), to float tolerance."""
+    one device (XLA psum == serial sum), to float tolerance — including
+    the EMA codebook path (per-shard count/sum psum'd by XLA) and the
+    dead-code restart."""
     cfg = _cfg(batch_size=8)
-    (wav, spk), = _fixed_batches(cfg, 1)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, ema=ema, code_restart_threshold=restart))
+    batches = _fixed_batches(cfg, 3)
     results = []
     for ndev in (1, 8):
         mesh = make_mesh(devices=jax.devices()[:ndev])
         step_fn, state, _ = _make_step(cfg, mesh)
         bsh = batch_sharding(mesh)
-        state, metrics = step_fn(state, jax.device_put(wav, bsh),
-                                 jax.device_put(spk, bsh))
+        for wav, spk in batches:
+            state, metrics = step_fn(state, jax.device_put(wav, bsh),
+                                     jax.device_put(spk, bsh))
         results.append((float(metrics["loss"]),
-                        jax.device_get(state.params["vq"]["codebook"])))
+                        jax.device_get(state.params["vq"]["codebook"]),
+                        jax.device_get(state.vq_state.count),
+                        jax.device_get(state.vq_state.sum)))
     assert abs(results[0][0] - results[1][0]) < 1e-5
     np.testing.assert_allclose(results[0][1], results[1][1],
                                rtol=2e-5, atol=2e-6)
+    # the EMA accumulators themselves must be sharding-invariant too
+    np.testing.assert_allclose(results[0][2], results[1][2],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(results[0][3], results[1][3],
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_checkpoint_resume_equivalence(tmp_path):

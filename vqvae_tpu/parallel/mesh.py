@@ -52,12 +52,14 @@ def _spec_for(path: str, x: Any, model_size: int) -> P:
     Stacked WaveNet weights [L, ..., C_out] and dense/conv kernels
     [..., C_out] shard along the trailing (output-channel) axis when it
     divides the 'model' axis; biases and small leaves replicate. The VQ
-    codebook [K, d] shards along K (argmin is over gathered scores, so
-    XLA all-gathers the per-shard partial scores — fine at K<=512).
+    codebook [K, d] and the EMA ``VQState`` leaves (``sum`` [K,d],
+    ``count`` [K]) all shard along K so the EMA update is layout-stable
+    under TP (argmin is over gathered scores — fine at K<=512).
     """
     if model_size == 1 or not hasattr(x, "ndim") or x.ndim == 0:
         return P()
-    if "codebook" in path or path.endswith("/sum"):
+    leaf = path.rsplit("/", 1)[-1]
+    if "codebook" in path or leaf in ("sum", "count"):
         return P("model") if x.shape[0] % model_size == 0 else P()
     if x.ndim >= 2 and x.shape[-1] % model_size == 0:
         return P(*([None] * (x.ndim - 1) + ["model"]))
