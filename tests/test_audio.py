@@ -34,6 +34,51 @@ def test_mu_law_extremes_and_zero():
     assert abs(float(mu_law_decode(ids, 256)[1])) < 1e-4
 
 
+def test_mu_law_chainer_mode():
+    """The Chainer-parity binning (digitize-style, mu companding
+    constant): valid range, monotone, bounded round-trip error, and a
+    closed-form match of np.digitize over the reference's bin edges."""
+    x = jnp.linspace(-1.0, 1.0, 4097)
+    ids = mu_law_encode(x, 256, mode="chainer")
+    assert int(ids.min()) == 0 and int(ids.max()) == 255
+    assert bool(jnp.all(jnp.diff(ids) >= 0))  # monotone in x
+    x2 = mu_law_decode(ids, 256, mode="chainer")
+    assert float(jnp.max(jnp.abs(x - x2))) < 0.045  # floor-binning: one
+    # full bin of error near |x|=1 (round mode halves this)
+    # closed form == np.digitize(y, 2*arange(mu)/mu - 1) - 1
+    mu = 256
+    y = np.sign(x) * np.log1p(mu * np.abs(np.asarray(x))) / np.log1p(mu)
+    ref = np.digitize(y, 2 * np.arange(mu) / mu - 1) - 1
+    np.testing.assert_array_equal(np.asarray(ids),
+                                  np.clip(ref, 0, mu - 1))
+    # edge deltas vs the TPU-native rounding stay within 1 id
+    ids_round = mu_law_encode(x, 256, mode="round")
+    assert int(jnp.max(jnp.abs(ids - ids_round))) <= 1
+
+
+def test_chainer_mode_trains():
+    """mulaw_mode='chainer' flows through framing + train step."""
+    import dataclasses
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
+    from vqvae_tpu.train import create_train_state, make_train_step
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, mulaw_mode="chainer"),
+        train=dataclasses.replace(cfg.train, batch_size=8))
+    mesh = make_mesh()
+    jit_for, sh_of = make_train_step(cfg, mesh)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = sh_of(state)
+    state = jax.device_put(state, sh)
+    rng = np.random.default_rng(0)
+    wav = jax.device_put(rng.uniform(-0.9, 0.9, (8, 1025))
+                         .astype(np.float32), batch_sharding(mesh))
+    spk = jax.device_put(np.zeros(8, np.int32), batch_sharding(mesh))
+    state, metrics = jit_for(sh)(state, wav, spk)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_frame_batch_shapes_and_alignment():
     B, L = 3, 64
     wav = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (B, L + 1)),

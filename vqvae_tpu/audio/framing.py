@@ -34,15 +34,15 @@ class Batch(NamedTuple):
 
 
 def frame_batch(wav_slices: jax.Array, speaker: jax.Array,
-                mu: int = 256) -> Batch:
+                mu: int = 256, mulaw_mode: str = "round") -> Batch:
     """Frame raw float slices ``[B, length+1]`` into a training Batch.
 
     Jittable: runs fused on device right after the host hands over raw
     float audio. The quantise->dequantise of the encoder input mirrors the
     reference, whose encoder sees the mu-law-rounded scalar waveform.
     """
-    ids = mu_law_encode(wav_slices, mu)          # [B, length+1]
-    wav_q = mu_law_decode(ids, mu)               # mu-law-256 fidelity wave
+    ids = mu_law_encode(wav_slices, mu, mulaw_mode)   # [B, length+1]
+    wav_q = mu_law_decode(ids, mu, mode=mulaw_mode)   # mu-law-256 wave
     return Batch(
         wav=wav_q[:, :-1],
         ids_in=ids[:, :-1],

@@ -6,6 +6,19 @@ integer class ids in [0, mu)) and ``itransform`` (its inverse).  Here both
 are pure jittable functions so the companding runs fused on device as part
 of the input pipeline / generation epilogue (BASELINE north star: "fused
 XLA preprocessing pipeline").
+
+Two binning modes (``mode=``), selectable via ``ModelConfig.mulaw_mode``:
+
+* ``"round"`` (default, TPU-native): symmetric rounding with a (mu-1)
+  companding constant; decode is an exact fixed point of encode
+  (PARITY.md "Known deltas").
+* ``"chainer"``: the reference's digitize-style binning [P — derived
+  from the Chainer idiom, SURVEY.md §0: mount empty, unverifiable this
+  session]: y = sign(x)·log(1+mu·|x|)/log(1+mu), ids = the bin index
+  over edges 2·i/mu - 1 (== floor((y+1)·mu/2) in closed form), inverse
+  x = sign(y)/mu·((1+mu)^|y| - 1) with y = 2·ids/mu - 1.  This is the
+  turn-key switch for bit-comparison the day the reference mount
+  appears; ±1-id edge deltas vs "round" are expected.
 """
 
 from __future__ import annotations
@@ -14,22 +27,30 @@ import jax
 import jax.numpy as jnp
 
 
-def mu_law_encode(x: jax.Array, mu: int = 256) -> jax.Array:
-    """Float waveform in [-1, 1] -> integer mu-law class ids in [0, mu).
-
-    y = sign(x) * log(1 + (mu-1)*|x|) / log(mu)   in [-1, 1]
-    id = round((y + 1) / 2 * (mu - 1))
-    """
-    m = jnp.asarray(mu - 1, dtype=x.dtype)
+def mu_law_encode(x: jax.Array, mu: int = 256,
+                  mode: str = "round") -> jax.Array:
+    """Float waveform in [-1, 1] -> integer mu-law class ids in [0, mu)."""
     x = jnp.clip(x, -1.0, 1.0)
+    if mode == "chainer":
+        m = jnp.asarray(mu, dtype=x.dtype)
+        y = jnp.sign(x) * jnp.log1p(m * jnp.abs(x)) / jnp.log1p(m)
+        ids = jnp.floor((y + 1.0) * (mu / 2.0))
+        return jnp.clip(ids.astype(jnp.int32), 0, mu - 1)
+    assert mode == "round", mode
+    m = jnp.asarray(mu - 1, dtype=x.dtype)
     y = jnp.sign(x) * jnp.log1p(m * jnp.abs(x)) / jnp.log1p(m)
     ids = jnp.round((y + 1.0) * 0.5 * m)
     return ids.astype(jnp.int32)
 
 
 def mu_law_decode(ids: jax.Array, mu: int = 256,
-                  dtype=jnp.float32) -> jax.Array:
+                  dtype=jnp.float32, mode: str = "round") -> jax.Array:
     """Integer class ids in [0, mu) -> float waveform in [-1, 1]."""
+    if mode == "chainer":
+        m = jnp.asarray(mu, dtype=dtype)
+        y = ids.astype(dtype) * (2.0 / m) - 1.0
+        return jnp.sign(y) / m * jnp.expm1(jnp.abs(y) * jnp.log1p(m))
+    assert mode == "round", mode
     m = jnp.asarray(mu - 1, dtype=dtype)
     y = ids.astype(dtype) * (2.0 / m) - 1.0
     x = jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(m))) / m

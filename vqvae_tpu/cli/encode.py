@@ -9,6 +9,7 @@ import argparse
 import jax.numpy as jnp
 import numpy as np
 
+from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
 from vqvae_tpu.audio.wav_io import load_wav, trim_silence
 from vqvae_tpu.cli.common import add_config_args, load_params, \
     resolve_config
@@ -30,7 +31,14 @@ def main() -> None:
     if not args.no_trim:
         wav = trim_silence(wav, cfg.data.top_db)
     T = len(wav) - (len(wav) % cfg.model.hop)
-    codes = encode_to_codes(params, cfg.model, jnp.asarray(wav[:T])[None])
+    # match the training/generation input distribution: the encoder
+    # always sees mu-law-quantised audio (framing/synthesize both
+    # round-trip through the companding before encoding)
+    x = mu_law_decode(
+        mu_law_encode(jnp.asarray(wav[:T]), cfg.model.mu,
+                      cfg.model.mulaw_mode),
+        cfg.model.mu, mode=cfg.model.mulaw_mode)
+    codes = encode_to_codes(params, cfg.model, x[None])
     np.save(args.output, np.asarray(codes[0], np.int32))
     print(f"wrote {args.output}: {codes.shape[1]} codes "
           f"({cfg.data.sr / cfg.model.hop:.1f} Hz latent rate, "

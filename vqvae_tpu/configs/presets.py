@@ -37,6 +37,10 @@ class ModelConfig:
     """Model shape (reference: ``opt.py`` globals consumed by ``net.py``)."""
 
     mu: int = 256                # decoder softmax classes == input framing
+    # mu-law binning: "round" (TPU-native, decode is a fixed point of
+    # encode) or "chainer" (the reference's digitize-style binning —
+    # the turn-key parity switch, see audio/mu_law.py)
+    mulaw_mode: str = "round"
     # --- encoder: stack of strided 1-D convs (stride 2, kernel 4) ---
     enc_channels: int = 128
     enc_layers: int = 6          # 2**6 = 64x downsampling
@@ -153,13 +157,14 @@ def _vctk_single() -> Config:
     """BASELINE configs[1]: single-speaker VCTK (p225), K=512."""
     model = ModelConfig(n_speakers=1, speaker_embed_dim=16)
     data = DataConfig(speaker="p225", n_speakers=1)
-    return Config(data=data, model=model, train=TrainConfig(),
+    return Config(data=data, model=model,
+                  train=TrainConfig(eval_every=1000),
                   name="vctk-single")
 
 
 def _vctk_multi() -> Config:
     """BASELINE configs[2]: multi-speaker VCTK, global conditioning."""
-    return Config(name="vctk-multi")
+    return Config(train=TrainConfig(eval_every=1000), name="vctk-multi")
 
 
 def _fastgen() -> Config:
@@ -170,7 +175,7 @@ def _fastgen() -> Config:
 def _stretch() -> Config:
     """BASELINE configs[4]: EMA codebook + 30-layer WaveNet + batch 64."""
     model = ModelConfig(ema=True, code_restart_threshold=1e-3)
-    train = TrainConfig(batch_size=64)
+    train = TrainConfig(batch_size=64, eval_every=1000)
     return Config(model=model, train=train, name="stretch")
 
 

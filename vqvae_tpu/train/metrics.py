@@ -18,7 +18,8 @@ from typing import Dict, Iterable
 class MetricsLogger:
     def __init__(self, out_dir: str,
                  print_keys: Iterable[str] = ("loss", "loss1", "loss2",
-                                              "loss3", "codebook_usage"),
+                                              "loss3", "codebook_usage",
+                                              "val_loss1"),
                  tensorboard: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "log.jsonl")

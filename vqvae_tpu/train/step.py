@@ -37,7 +37,7 @@ def train_step(state: TrainState, wav: jax.Array, speaker: jax.Array,
     Preprocess (SURVEY.md §3.4).
     """
     mcfg = cfg.model
-    batch = frame_batch(wav, speaker, mcfg.mu)
+    batch = frame_batch(wav, speaker, mcfg.mu, mcfg.mulaw_mode)
 
     def loss_fn(params):
         loss, (metrics, aux) = forward(params, mcfg, batch, impl)
@@ -75,7 +75,8 @@ def eval_step(params, wav: jax.Array, speaker: jax.Array,
     """Validation forward (reference: the Evaluator extension over the
     valid split — SURVEY.md §2.1 Training CLI row). Same fused forward,
     no grads/update."""
-    batch = frame_batch(wav, speaker, cfg.model.mu)
+    batch = frame_batch(wav, speaker, cfg.model.mu,
+                        cfg.model.mulaw_mode)
     _, (metrics, _) = forward(params, cfg.model, batch, impl)
     return metrics
 
