@@ -55,17 +55,24 @@ def test_streaming_constant_state_size():
     assert len(set(sizes)) == 1  # state never grows with output length
 
 
-def test_streaming_sampling_mode_valid():
-    """Sampling mode: chunked RNG differs from one-shot by design, but
-    output must be valid audio with the right shape."""
+def test_streaming_sampling_matches_one_shot():
+    """Sampling mode is bit-identical to one-shot: per-step keys are
+    fold_in(key, t) with the global step t carried across chunks, so
+    chunking cannot change the draws."""
     params, codes, spk = _setup(T_lat=8)
-    s = StreamingSynthesizer(params, CFG, spk, jax.random.PRNGKey(9),
+    key = jax.random.PRNGKey(9)
+    full = decode_from_codes(params, CFG, codes, spk, key,
                              temperature=0.9)
+    s = StreamingSynthesizer(params, CFG, spk, key, temperature=0.9)
     pieces = [s.push(codes[:, :4]), s.push(codes[:, 4:]), s.flush()]
     wav = jnp.concatenate(pieces, axis=1)
-    assert wav.shape == (2, 8 * CFG.hop)
-    assert bool(jnp.all(jnp.isfinite(wav)))
-    assert float(jnp.max(jnp.abs(wav))) <= 1.0
+    assert wav.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(full))
+    # different seeds produce different samples (not degenerate)
+    s2 = StreamingSynthesizer(params, CFG, spk, jax.random.PRNGKey(10),
+                              temperature=0.9)
+    wav2 = jnp.concatenate([s2.push(codes), s2.flush()], axis=1)
+    assert not np.array_equal(np.asarray(wav2), np.asarray(wav))
 
 
 def test_lowmem_matches_one_shot_greedy():
@@ -82,3 +89,15 @@ def test_lowmem_matches_one_shot_greedy():
     low2 = decode_from_codes_lowmem(params, CFG, codes, spk, key,
                                     greedy=True, chunk_samples=512)
     np.testing.assert_array_equal(np.asarray(low2), np.asarray(full))
+
+
+def test_lowmem_matches_one_shot_sampling():
+    """Stochastic sampling is chunking-invariant too (fold_in keys)."""
+    from vqvae_tpu.infer.lowmem import decode_from_codes_lowmem
+    params, codes, spk = _setup(T_lat=12)
+    key = jax.random.PRNGKey(6)
+    full = decode_from_codes(params, CFG, codes, spk, key,
+                             temperature=0.9)
+    low = decode_from_codes_lowmem(params, CFG, codes, spk, key,
+                                   temperature=0.9, chunk_samples=256)
+    np.testing.assert_array_equal(np.asarray(low), np.asarray(full))

@@ -75,18 +75,22 @@ def _generate_ids_scan(params: Dict, cfg: ModelConfig, cond: jax.Array,
     x0 = jnp.full((B,), int(cfg.mu // 2), jnp.int32)
 
     def step(carry, c_t):
-        state, x_t, key = carry
+        state, x_t = carry
+        t = state.t  # global step BEFORE this sample is emitted
         state, logits = decoder_step(gp, cfg, state, x_t, c_t, gcond)
-        key, sub = jax.random.split(key)
         if greedy:
             x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
+            # per-step key is a pure function of (key, t) so sampling is
+            # chunking-invariant: one-shot, lowmem, and streaming all
+            # draw identical samples (SURVEY.md §5.7)
             x_next = jax.random.categorical(
-                sub, logits / temperature).astype(jnp.int32)
-        return (state, x_next, key), x_next
+                jax.random.fold_in(key, t),
+                logits / temperature).astype(jnp.int32)
+        return (state, x_next), x_next
 
     cond_tm = jnp.swapaxes(cond, 0, 1)                  # [T, B, d]
-    (_, _, _), ids = jax.lax.scan(step, (state, x0, key), cond_tm)
+    (_, _), ids = jax.lax.scan(step, (state, x0), cond_tm)
     return jnp.swapaxes(ids, 0, 1)                      # [B, T]
 
 
@@ -135,7 +139,7 @@ def decode_from_codes(params: Dict, cfg: ModelConfig, codes: jax.Array,
         cond = upsample_cond(params["decoder"], cfg, e)
         ids = generate_ids(params, cfg, cond, speaker, key,
                            temperature, greedy, impl)
-    return mu_law_decode(ids, cfg.mu)
+    return mu_law_decode(ids, cfg.mu, mode=cfg.mulaw_mode)
 
 
 def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
@@ -148,7 +152,9 @@ def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
     T' = T rounded down to a multiple of the encoder hop.
     """
     T = wav.shape[1] - (wav.shape[1] % cfg.hop)
-    wav = mu_law_decode(mu_law_encode(wav[:, :T], cfg.mu), cfg.mu)
+    wav = mu_law_decode(mu_law_encode(wav[:, :T], cfg.mu,
+                                      cfg.mulaw_mode),
+                        cfg.mu, mode=cfg.mulaw_mode)
     codes = encode_to_codes(params, cfg, wav)
     out = decode_from_codes(params, cfg, codes, speaker, key,
                             temperature, greedy, impl)

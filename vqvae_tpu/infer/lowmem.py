@@ -48,6 +48,11 @@ def generate_ids_lowmem(params: Dict, cfg: ModelConfig,
     h = cfg.hop
     S = chunk_samples
     assert S % h == 0, (S, h)
+    # The static chunk window [3h/2, 3h/2+S) below is derived for a
+    # transposed-conv kernel of exactly 2*hop (SAME crop = hop/2 per
+    # side, one frame of halo each way); other kernel sizes would read
+    # the wrong window and silently corrupt audio.
+    assert cfg.upsample_kernel_mult == 2, cfg.upsample_kernel_mult
     B, T_lat = codes.shape
     T = T_lat * h
     n_chunks = -(-T // S)
@@ -73,27 +78,29 @@ def generate_ids_lowmem(params: Dict, cfg: ModelConfig,
         return v[:, 3 * h // 2: 3 * h // 2 + S] + up_b   # [B, S, d]
 
     def outer(carry, c):
-        state, x_t, key = carry
+        state, x_t = carry
         cond = cond_chunk(c)
 
         def inner(ic, c_t):
-            state, x_t, key = ic
+            state, x_t = ic
+            t = state.t
             state, logits = decoder_step(gp, cfg, state, x_t, c_t,
                                          gcond)
-            key, sub = jax.random.split(key)
             if greedy:
                 x = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
+                # fold_in(key, t): identical draws to the one-shot and
+                # streaming paths at every global step t
                 x = jax.random.categorical(
-                    sub, logits / temperature).astype(jnp.int32)
-            return (state, x, key), x
+                    jax.random.fold_in(key, t),
+                    logits / temperature).astype(jnp.int32)
+            return (state, x), x
 
-        (state, x_t, key), ids = lax.scan(
-            inner, (state, x_t, key), jnp.swapaxes(cond, 0, 1))
-        return (state, x_t, key), jnp.swapaxes(ids, 0, 1)
+        (state, x_t), ids = lax.scan(
+            inner, (state, x_t), jnp.swapaxes(cond, 0, 1))
+        return (state, x_t), jnp.swapaxes(ids, 0, 1)
 
-    (_, _, _), ids = lax.scan(outer, (state, x0, key),
-                              jnp.arange(n_chunks))
+    (_, _), ids = lax.scan(outer, (state, x0), jnp.arange(n_chunks))
     # ids: [n_chunks, B, S] -> [B, T]
     ids = jnp.swapaxes(ids, 0, 1).reshape(B, n_chunks * S)
     return ids[:, :T]
@@ -106,4 +113,4 @@ def decode_from_codes_lowmem(params: Dict, cfg: ModelConfig,
                              chunk_samples: int = 1024) -> jax.Array:
     ids = generate_ids_lowmem(params, cfg, codes, speaker, key,
                               temperature, greedy, chunk_samples)
-    return mu_law_decode(ids, cfg.mu)
+    return mu_law_decode(ids, cfg.mu, mode=cfg.mulaw_mode)

@@ -10,9 +10,10 @@ Exactness: the full-sequence upsampler is a stride-``hop`` transposed
 conv with 'SAME' padding, which equals the 'VALID' transposed conv
 cropped by ``hop//2`` on each side.  'VALID' conv_transpose is linear
 and shift-invariant, so chunks compose by overlap-adding the trailing
-``hop`` samples; the conv bias is added once at emit time.  Greedy
-streaming output is therefore bit-identical to the one-shot path
-(tested in tests/test_streaming.py).
+``hop`` samples; the conv bias is added once at emit time.  Per-step
+PRNG keys are ``fold_in(key, t)`` with the global step ``t`` carried in
+GenState, so streaming output — greedy AND sampled — is bit-identical
+to the one-shot path (tested in tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -42,19 +43,22 @@ def _stream_chunk(gp, cfg: ModelConfig, state: GenState, x_t, key,
     """Advance the decoder over one cond chunk, carrying state."""
 
     def step(carry, c_t):
-        state, x_t, key = carry
+        state, x_t = carry
+        t = state.t  # global step, carried across push() boundaries
         state, logits = decoder_step(gp, cfg, state, x_t, c_t, gcond)
-        key, sub = jax.random.split(key)
         if greedy:
             x = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
+            # fold_in(key, t) makes sampling chunking-invariant:
+            # streaming draws are bit-identical to the one-shot path
             x = jax.random.categorical(
-                sub, logits / temperature).astype(jnp.int32)
-        return (state, x, key), x
+                jax.random.fold_in(key, t),
+                logits / temperature).astype(jnp.int32)
+        return (state, x), x
 
-    (state, x_t, key), ids = lax.scan(
-        step, (state, x_t, key), jnp.swapaxes(cond_chunk, 0, 1))
-    return state, x_t, key, jnp.swapaxes(ids, 0, 1)
+    (state, x_t), ids = lax.scan(
+        step, (state, x_t), jnp.swapaxes(cond_chunk, 0, 1))
+    return state, x_t, jnp.swapaxes(ids, 0, 1)
 
 
 class StreamingSynthesizer:
@@ -68,6 +72,9 @@ class StreamingSynthesizer:
     def __init__(self, params: Dict, cfg: ModelConfig,
                  speaker: jax.Array, key: jax.Array,
                  temperature: float = 1.0, greedy: bool = False):
+        # the overlap-add carry is one hop and the SAME crop is hop/2
+        # per side only for a kernel of exactly 2*hop
+        assert cfg.upsample_kernel_mult == 2, cfg.upsample_kernel_mult
         self.cfg = cfg
         self.gp = make_gen_params(params["decoder"], cfg)
         self.codebook = params["vq"]["codebook"]
@@ -106,18 +113,18 @@ class StreamingSynthesizer:
     def push(self, codes: jax.Array) -> jax.Array:
         """codes ``[B, C]`` -> waveform ``[B, ~C*hop]`` float32."""
         cond = self._upsample_chunk(codes)
-        self.state, self.x_t, self.key, ids = _stream_chunk(
+        self.state, self.x_t, ids = _stream_chunk(
             self.gp, self.cfg, self.state, self.x_t, self.key, cond,
             self.gcond, self.temperature, self.greedy)
-        return mu_law_decode(ids, self.cfg.mu)
+        return mu_law_decode(ids, self.cfg.mu, mode=self.cfg.mulaw_mode)
 
     def flush(self) -> jax.Array:
         """Emit the final ``hop - hop//2`` samples (the SAME-crop tail)."""
         hop = self.cfg.hop
         assert self._carry is not None, "flush before any push"
         cond = self._carry[:, :hop - hop // 2] + self.up_b
-        self.state, self.x_t, self.key, ids = _stream_chunk(
+        self.state, self.x_t, ids = _stream_chunk(
             self.gp, self.cfg, self.state, self.x_t, self.key, cond,
             self.gcond, self.temperature, self.greedy)
         self._carry = None
-        return mu_law_decode(ids, self.cfg.mu)
+        return mu_law_decode(ids, self.cfg.mu, mode=self.cfg.mulaw_mode)
