@@ -3,9 +3,23 @@ core (BASELINE.md target: >= 50x real-time @ 16 kHz per core, i.e.
 >= 800k samples/s/core, batched streams).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/s/core", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/s/core", "vs_baseline": N,
+   "training": {...}, "pallas_sampling": {...}}
+
 vs_baseline is measured throughput / 800k (the driver target; the
 reference itself publishes no numbers — BASELINE.json.published == {}).
+
+The extra keys record the north star's other halves so every
+BENCH_r*.json is a witness, not a prose claim (VERDICT round 1):
+  training        — flagship train-step throughput + MFU vs the v5e
+                    bf16 roofline (197 TFLOP/s), FLOPs from XLA's own
+                    cost analysis of the compiled step
+  pallas_sampling — the fused decode kernel run in stochastic-sampling
+                    mode on the real TPU: ids full-range and
+                    seed-sensitive
+
+Env knobs: BENCH_SECONDS, BENCH_BATCH, BENCH_TRAIN=0, BENCH_PALLAS=0,
+BENCH_TRAIN_BATCH.
 """
 
 from __future__ import annotations
@@ -21,14 +35,13 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 800_000.0  # 50x realtime @ 16 kHz
 SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))  # batched streams
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip (1 core) — TPU v5e / v5 lite
 
 
-def main() -> None:
-    from vqvae_tpu.configs import get_config
+def _bench_synthesis(cfg) -> float:
     from vqvae_tpu.infer.lowmem import decode_from_codes_lowmem
     from vqvae_tpu.models import init_model
 
-    cfg = get_config("vctk-multi").model  # flagship: 30-layer WaveNet
     sr = 16000
     T = int(SECONDS * sr)
     T_lat = T // cfg.hop
@@ -56,15 +69,116 @@ def main() -> None:
                                        jax.random.PRNGKey(i))
         jax.device_get(out[:, -1])
     dt = (time.perf_counter() - t0) / runs
+    return BATCH * T / dt
 
-    samples_per_sec = BATCH * T / dt
-    print(json.dumps({
+
+def _bench_training() -> dict:
+    """Flagship (vctk-multi) train-step throughput and MFU on one chip."""
+    import dataclasses
+
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
+    from vqvae_tpu.train import create_train_state, make_train_step
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
+    cfg = get_config("vctk-multi")
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=B))
+    mesh = make_mesh(devices=jax.devices()[:1])
+    jit_for, shardings_of = make_train_step(cfg, mesh)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = shardings_of(state)
+    state = jax.device_put(state, sh)
+    step = jit_for(sh)
+
+    rng = np.random.default_rng(0)
+    bsh = batch_sharding(mesh)
+    wav = jax.device_put(rng.uniform(
+        -0.9, 0.9, (B, cfg.data.length + 1)).astype(np.float32), bsh)
+    spk = jax.device_put(
+        (np.arange(B) % cfg.model.n_speakers).astype(np.int32), bsh)
+
+    # XLA's own FLOP count for the whole compiled step (fwd+bwd+Adam)
+    try:
+        cost = step.lower(state, wav, spk).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+
+    for _ in range(3):  # compile + warmup
+        state, metrics = step(state, wav, spk)
+    jax.device_get(metrics["loss"])
+    runs = 10
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        state, metrics = step(state, wav, spk)
+    jax.device_get(metrics["loss"])
+    dt = (time.perf_counter() - t0) / runs
+
+    rec = {"batch": B, "ms_per_step": round(dt * 1e3, 2),
+           "utt_per_s": round(B / dt, 1)}
+    if flops:
+        rec["step_tflops"] = round(flops / 1e12, 3)
+        rec["mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+    return rec
+
+
+def _witness_pallas_sampling(cfg) -> dict:
+    """Run the fused Pallas decode kernel in stochastic-sampling mode on
+    the real TPU and record that its ids are valid, full-range, and
+    seed-sensitive (VERDICT r1: no capability may exist only in prose)."""
+    if jax.devices()[0].platform != "tpu":
+        return {"skipped": "requires tpu"}
+    from vqvae_tpu.infer.fastgen import generate_ids
+    from vqvae_tpu.models import init_model
+    from vqvae_tpu.models.wavenet import upsample_cond
+
+    B, T_lat = 32, 16
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, cfg.K, (B, T_lat)), jnp.int32)
+    spk = jnp.asarray(rng.integers(0, cfg.n_speakers, (B,)), jnp.int32)
+    e = params["vq"]["codebook"][codes]
+    cond = upsample_cond(params["decoder"], cfg, e)
+    ids = {}
+    for seed in (0, 1):
+        out = np.asarray(jax.device_get(generate_ids(
+            params, cfg, cond, spk, jax.random.PRNGKey(seed),
+            impl="pallas")))
+        if out.min() < 0 or out.max() >= cfg.mu:
+            return {"ok": False, "reason": "ids out of range"}
+        ids[seed] = out
+    distinct = int(len(np.unique(ids[0])))
+    seed_sensitive = not np.array_equal(ids[0], ids[1])
+    return {"ok": bool(distinct > cfg.mu // 8 and seed_sensitive),
+            "distinct_ids": distinct, "mu": cfg.mu,
+            "seed_sensitive": seed_sensitive}
+
+
+def main() -> None:
+    from vqvae_tpu.configs import get_config
+
+    cfg = get_config("vctk-multi").model  # flagship: 30-layer WaveNet
+    samples_per_sec = _bench_synthesis(cfg)
+    rec = {
         "metric": "fast_ar_synthesis_throughput_b" + str(BATCH),
         "value": round(samples_per_sec, 1),
         "unit": "samples/s/core",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC,
                              3),
-    }))
+    }
+    if os.environ.get("BENCH_PALLAS", "1") != "0":
+        try:
+            rec["pallas_sampling"] = _witness_pallas_sampling(cfg)
+        except Exception as exc:  # noqa: BLE001
+            rec["pallas_sampling"] = {"ok": False, "error": repr(exc)}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            rec["training"] = _bench_training()
+        except Exception as exc:  # noqa: BLE001
+            rec["training"] = {"error": repr(exc)}
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -69,3 +69,39 @@ def test_cli_encode_decode(trained_run, tmp_path, monkeypatch):
                "-m", trained_run, "-s", "0", "--greedy"], monkeypatch)
     w = load_wav(out, sr)
     assert len(w) == 768 and np.all(np.isfinite(w))
+
+
+def test_cli_decode_gen_impl_lowmem(trained_run, tmp_path, monkeypatch):
+    """--gen-impl lowmem (the engine bench.py ships) through the user
+    CLI must produce exactly the default engine's greedy output."""
+    codes = str(tmp_path / "c.npy")
+    np.save(codes, (np.arange(12) % 16).astype(np.int32))
+    from vqvae_tpu.cli.decode import main as dec
+    outs = {}
+    for impl in ("lax", "lowmem"):
+        out = str(tmp_path / f"dec_{impl}.wav")
+        _run(dec, ["--preset", "tiny", "-i", codes, "-o", out,
+                   "-m", trained_run, "--greedy", "--gen-impl", impl],
+             monkeypatch)
+        outs[impl] = load_wav(out, 16000)
+    np.testing.assert_array_equal(outs["lax"], outs["lowmem"])
+
+
+def test_cli_generate_gen_impl_pallas(trained_run, tmp_path, monkeypatch):
+    """--gen-impl pallas end-to-end (TPU only: the fused decode kernel
+    needs real TPU VMEM semantics)."""
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("Pallas decode kernel requires a TPU device")
+    sr = 16000
+    t = np.arange(800) / sr
+    wav_in = str(tmp_path / "in.wav")
+    save_wav(wav_in, (0.5 * np.sin(2 * np.pi * 330 * t)
+                      ).astype(np.float32), sr)
+    out = str(tmp_path / "gen_pallas.wav")
+    from vqvae_tpu.cli.generate import main
+    _run(main, ["--preset", "tiny", "-i", wav_in, "-o", out,
+                "-m", trained_run, "--no-trim", "--gen-impl", "pallas"],
+         monkeypatch)
+    w = load_wav(out, sr)
+    assert len(w) == 768 and np.all(np.isfinite(w))

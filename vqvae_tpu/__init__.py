@@ -12,7 +12,9 @@ autoregressive synthesis — redesigned for TPU:
   the per-layer ring-buffer state (never round-trips to host), with an
   optional fused Pallas kernel for the whole sampling loop,
 * the VQ nearest-neighbour lookup is a fused Pallas kernel (distance +
-  argmin + gather) wrapped in a ``custom_vjp`` straight-through gradient.
+  argmin + gather); the straight-through gradient is plain
+  ``stop_gradient`` arithmetic (``e_st = z + sg(e - z)``) in models/vq.py
+  — no custom autodiff plumbing needed.
 
 Reference parity map (expected reference files, see SURVEY.md §2.1):
   utils.py :: mu_law      -> vqvae_tpu.audio.mu_law

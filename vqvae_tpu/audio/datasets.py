@@ -10,6 +10,7 @@ only decodes, trims, and crops float audio.
 from __future__ import annotations
 
 import os
+import threading
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -63,18 +64,22 @@ class WavDataset:
         self.cfg = cfg
         self._cache: dict = {}
         self._cache_size = cache_size
+        # BatchLoader workers are threads; evict/insert must not race
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def _decoded(self, i: int) -> np.ndarray:
-        wav = self._cache.get(i)
+        with self._cache_lock:
+            wav = self._cache.get(i)
         if wav is None:
             wav = load_wav(self.paths[i], self.cfg.sr)
             wav = trim_silence(wav, self.cfg.top_db)
-            if len(self._cache) >= self._cache_size:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[i] = wav
+            with self._cache_lock:
+                if len(self._cache) >= self._cache_size:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[i] = wav
         return wav
 
     def sample(self, rng: np.random.Generator) -> Tuple[np.ndarray, int]:

@@ -73,7 +73,13 @@ class BatchLoader:
                 self._stop.wait(0.01)
             if self._stop.is_set():
                 return
-            batch = self._make_batch(index)
+            # a raised batch still occupies its heap slot (as the
+            # exception object) so the in-order emitter can't stall —
+            # __next__ re-raises it on the consumer thread
+            try:
+                batch = self._make_batch(index)
+            except BaseException as exc:  # noqa: BLE001
+                batch = exc
             with self._heap_lock:
                 heapq.heappush(self._heap, (index, batch))
 
@@ -99,7 +105,11 @@ class BatchLoader:
         return self
 
     def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
-        return self._q.get()
+        batch = self._q.get()
+        if isinstance(batch, BaseException):
+            self.close()
+            raise batch
+        return batch
 
     def close(self) -> None:
         self._stop.set()
