@@ -1,0 +1,71 @@
+"""Op-rewrite equivalence tests: every TPU-motivated reformulation in
+ops/ must match its straightforward lax reference (the shadow-impl rule,
+SURVEY.md §7 stage 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vqvae_tpu.ops.conv import upsample_apply, upsample_init
+from vqvae_tpu.ops.embed import take_rows
+
+
+def test_upsample_matmul_matches_conv_transpose():
+    """The einsum+overlap-add upsampler == lax.conv_transpose SAME."""
+    for hop, Tl, d in ((64, 12, 16), (16, 7, 8)):
+        p = upsample_init(jax.random.PRNGKey(0), d, d, hop, 2,
+                          jnp.float32)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, Tl, d))
+        got = upsample_apply(p, z, hop)
+        ref = lax.conv_transpose(
+            z, p["w"], strides=(hop,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC")) + p["b"]
+        assert got.shape == ref.shape == (2, Tl * hop, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_take_rows_matches_gather_fwd_and_grad():
+    """take_rows == w[ids] in value; its matmul backward == the scatter
+    backward of the plain gather."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (3, 5), 0, 16)
+    np.testing.assert_array_equal(np.asarray(take_rows(w, ids)),
+                                  np.asarray(w[ids]))
+
+    def loss_custom(w):
+        return jnp.sum(jnp.sin(take_rows(w, ids)) * 2.0)
+
+    def loss_plain(w):
+        return jnp.sum(jnp.sin(w[ids]) * 2.0)
+
+    g_custom = jax.grad(loss_custom)(w)
+    g_plain = jax.grad(loss_plain)(w)
+    np.testing.assert_allclose(np.asarray(g_custom),
+                               np.asarray(g_plain), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_manual_ce_matches_optax():
+    """The one-hot-contraction CE in models/vqvae.forward equals
+    optax's integer-label CE (value and gradient)."""
+    import optax
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 9, 32))
+    t = jax.random.randint(jax.random.PRNGKey(1), (4, 9), 0, 32)
+
+    def manual(lg):
+        logz = jax.scipy.special.logsumexp(lg, axis=-1)
+        picked = jnp.sum(lg * jax.nn.one_hot(t, 32, dtype=lg.dtype),
+                         axis=-1)
+        return jnp.mean(logz - picked)
+
+    def ref(lg):
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(lg, t))
+
+    np.testing.assert_allclose(float(manual(logits)),
+                               float(ref(logits)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.grad(manual)(logits)),
+                               np.asarray(jax.grad(ref)(logits)),
+                               rtol=1e-5, atol=1e-6)

@@ -16,7 +16,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from vqvae_tpu.audio.framing import Batch
 from vqvae_tpu.configs import ModelConfig
@@ -25,7 +24,6 @@ from vqvae_tpu.models import vq as vq_mod
 from vqvae_tpu.models.vq import VQState, init_vq, quantize, vq_losses
 from vqvae_tpu.models.wavenet import (
     apply_decoder,
-    global_cond,
     init_decoder,
     upsample_cond,
 )
@@ -67,8 +65,16 @@ def forward(params: Dict, cfg: ModelConfig, batch: Batch,
     cond = upsample_cond(params["decoder"], cfg, e_st)     # [B,T,d]
     logits = apply_decoder(params["decoder"], cfg, batch.ids_in,
                            cond, batch.speaker)            # [B,T,mu] f32
-    loss1 = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-        logits, batch.targets))
+    # Softmax cross-entropy via one-hot contraction instead of
+    # take_along_axis: the integer-label gather (and its scatter in the
+    # backward) costs ~2-4 ms/step at flagship shapes on TPU (profiled,
+    # docs/PERF.md); the one-hot multiply fuses into one pass over the
+    # logits. Same value as optax's integer-label CE to f32 rounding.
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)    # [B,T]
+    picked = jnp.sum(
+        logits * jax.nn.one_hot(batch.targets, cfg.mu,
+                                dtype=logits.dtype), axis=-1)
+    loss1 = jnp.mean(logz - picked)
 
     if cfg.ema:
         loss = loss1 + cfg.beta * loss3

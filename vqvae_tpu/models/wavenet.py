@@ -107,9 +107,11 @@ def global_cond(params: Dict, cfg: ModelConfig, speaker: jax.Array
 def embed_inputs(params: Dict, cfg: ModelConfig, ids: jax.Array
                  ) -> jax.Array:
     """Teacher-forced input layer: causal kernel-2 'conv' over the
-    implicit one-hot, as two gathers. ``[B, T] -> [B, T, R]``."""
+    implicit one-hot, as two gathers (matmul backward — ops/embed.py).
+    ``[B, T] -> [B, T, R]``."""
+    from vqvae_tpu.ops.embed import take_rows
     w = params["emb"]["w"].astype(cfg.cdtype)
-    h = w[1][ids] + shift_right(w[0][ids], 1)
+    h = take_rows(w[1], ids) + shift_right(take_rows(w[0], ids), 1)
     return h + params["emb"]["b"].astype(cfg.cdtype)
 
 

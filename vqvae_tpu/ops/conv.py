@@ -116,17 +116,38 @@ def upsample_init(key, in_ch: int, out_ch: int, hop: int,
 
 def upsample_apply(params: Dict[str, jax.Array], z: jax.Array,
                    hop: int, dtype=None) -> jax.Array:
-    """``[B, T_lat, C_in] -> [B, T_lat*hop, C_out]`` via conv_transpose."""
+    """``[B, T_lat, C_in] -> [B, T_lat*hop, C_out]``: stride-``hop``
+    SAME transposed conv, computed as ONE MXU einsum + overlap-add.
+
+    XLA's TPU lowering of ``lax.conv_transpose`` at this shape costs
+    ~3.5 ms/step on the flagship (profiled, docs/PERF.md); the same map
+    as a ``[B*T_lat, C_in] x [C_in, K*C_out]`` contraction plus two pads
+    is bandwidth-bound at ~0.2 ms.  Derivation (kernel K, stride hop,
+    K == 2*hop enforced by config): the VALID transposed conv at output
+    position q*hop + r is ``z[q] @ w[r] + z[q-1] @ w[r+hop]``; SAME
+    crops (K - hop)/2 = hop/2 from the left.  Equality with
+    lax.conv_transpose is pinned in tests/test_ops.py.
+    """
     w = params["w"]
     if dtype is not None:
         z = z.astype(dtype)
         w = w.astype(dtype)
-    y = lax.conv_transpose(
-        z, w,
-        strides=(hop,),
-        padding="SAME",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-    )
+    K, cin, cout = w.shape
+    B, Tl, _ = z.shape
+    assert K == 2 * hop, (K, hop)
+    # lax.conv_transpose applies the kernel FLIPPED along the spatial
+    # axis (verified by impulse probe); flip here so checkpoints trained
+    # on the conv path stay bit-compatible
+    wf = w[::-1]
+    # A[b, q, r, e] = z[b, q] @ wf[r]
+    a = jnp.einsum("btd,kde->btke", z, wf,
+                   preferred_element_type=jnp.float32).astype(z.dtype)
+    p0 = a[:, :, :hop].reshape(B, Tl * hop, cout)   # taps r in [0, hop)
+    p1 = a[:, :, hop:].reshape(B, Tl * hop, cout)   # taps r+hop
+    # y_valid[q*hop + r] = p0[q*hop + r] + p1[(q-1)*hop + r]
+    y = (jnp.pad(p0, ((0, 0), (0, hop), (0, 0)))
+         + jnp.pad(p1, ((0, 0), (hop, 0), (0, 0))))
+    y = y[:, hop // 2: hop // 2 + Tl * hop]
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y
