@@ -113,3 +113,94 @@ def test_decode_pallas_sampling_valid():
     out2 = generate_ids_pallas(gp, cfg, cond, gcond, jnp.int32(4),
                                jnp.float32(1.0))
     assert not jnp.array_equal(out, out2)  # seed changes the stream
+
+
+# ---- fused gated-residual TRAINING kernel (interpret mode on CPU) ----
+
+
+def test_train_stack_pallas_matches_xla_fwd_and_grads():
+    """decoder_kernel='pallas' (chunked fused stack + recomputing
+    custom-vjp) == the lax layer loop: identical loss and near-identical
+    gradients for EVERY parameter leaf."""
+    import dataclasses
+    from vqvae_tpu.audio.framing import frame_batch
+    from vqvae_tpu.models import forward
+
+    cfg_x = get_config("tiny").model     # L=10 -> one chunk
+    cfg_p = dataclasses.replace(cfg_x, decoder_kernel="pallas")
+    params = init_model(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 1025)), jnp.float32)
+    batch = frame_batch(wav, jnp.asarray([0, 1]), cfg_x.mu)
+
+    def loss_fn(cfg):
+        return lambda p: forward(p, cfg, batch)[0]
+
+    l_x, g_x = jax.value_and_grad(loss_fn(cfg_x))(params)
+    l_p, g_p = jax.value_and_grad(loss_fn(cfg_p))(params)
+    np.testing.assert_allclose(float(l_x), float(l_p), rtol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_p)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4 * scale + 1e-8,
+            rtol=1e-3, err_msg=f"grad mismatch at {path}")
+
+
+def test_train_stack_pallas_multi_chunk():
+    """A >MAX_CHUNK_LAYERS stack splits into chained chunk kernels and
+    still matches the lax loop (exercises the inter-chunk h/skip/grad
+    hand-off)."""
+    import dataclasses
+    cfg_x = get_config("tiny").model
+    cfg_x = dataclasses.replace(cfg_x, n_loop=2, n_layer=8)  # L=16 -> 2
+    cfg_p = dataclasses.replace(cfg_x, decoder_kernel="pallas")
+    params = init_model(jax.random.PRNGKey(5), cfg_x)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 256), 0,
+                             cfg_x.mu)
+    Tl = 256 // cfg_x.hop
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, Tl, cfg_x.d))
+    cond = upsample_cond(params["decoder"], cfg_x, e)
+    spk = jnp.asarray([0, 1])
+
+    def out_sum(cfg):
+        def f(p):
+            lg = apply_decoder(p["decoder"], cfg, ids, cond, spk)
+            return jnp.sum(lg * jnp.cos(lg * 0.1))
+        return f
+
+    v_x, g_x = jax.value_and_grad(out_sum(cfg_x))(params)
+    v_p, g_p = jax.value_and_grad(out_sum(cfg_p))(params)
+    np.testing.assert_allclose(float(v_x), float(v_p), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_p)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4 * scale + 1e-8,
+            rtol=1e-3, err_msg=f"grad mismatch at {path}")
+
+
+def test_train_stack_pallas_remat():
+    """cfg.remat wraps the chunk kernels in jax.checkpoint without
+    changing values."""
+    import dataclasses
+    from vqvae_tpu.audio.framing import frame_batch
+    from vqvae_tpu.models import forward
+    cfg_p = dataclasses.replace(get_config("tiny").model,
+                                decoder_kernel="pallas")
+    cfg_r = dataclasses.replace(cfg_p, remat=True)
+    params = init_model(jax.random.PRNGKey(0), cfg_p)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 1025)), jnp.float32)
+    batch = frame_batch(wav, jnp.asarray([0, 1]), cfg_p.mu)
+    l_p, g_p = jax.value_and_grad(
+        lambda p: forward(p, cfg_p, batch)[0])(params)
+    l_r, g_r = jax.value_and_grad(
+        lambda p: forward(p, cfg_r, batch)[0])(params)
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

@@ -29,6 +29,10 @@ def main() -> None:
                    help="'model' (tensor-parallel) mesh axis size")
     p.add_argument("--impl", default="lax", choices=["lax", "pallas"],
                    help="VQ kernel implementation")
+    p.add_argument("--decoder-kernel", default=None,
+                   choices=["xla", "pallas"],
+                   help="training-path gated-residual stack: XLA layer "
+                        "loop or fused Pallas chunk kernels")
     p.add_argument("--eval-every", type=int, default=None,
                    help="validation evaluation interval (steps)")
     p.add_argument("--tensorboard", action="store_true",
@@ -55,6 +59,9 @@ def main() -> None:
         tr["profile_steps"] = args.profile
     if tr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr))
+    if args.decoder_kernel is not None:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, decoder_kernel=args.decoder_kernel))
 
     dataset, valid = make_dataset(cfg, args.dataset, args.root)
     train(cfg, dataset, out_dir=cfg.train.out_dir, resume=args.resume,

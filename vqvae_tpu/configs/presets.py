@@ -71,6 +71,11 @@ class ModelConfig:
     # --- numerics ---
     compute_dtype: str = "bfloat16"  # matmul/conv dtype on TPU
     param_dtype: str = "float32"
+    # training-path gated-residual stack implementation: "xla" (layer
+    # loop of shifted matmuls) or "pallas" (fused per-layer kernels with
+    # a recomputing custom-vjp backward — kernels/wavenet_train_pallas).
+    # Numerically pinned against each other in tests/test_kernels.py.
+    decoder_kernel: str = "xla"
     remat: bool = False          # jax.checkpoint each decoder layer:
     # trades recompute FLOPs for backward activation memory. Measured on
     # v5e flagship: hurts throughput at B<=64 (compute-bound), so off by

@@ -130,6 +130,13 @@ def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
     cond = cond.astype(cdt)
     gcond = global_cond(params, cfg, speaker)        # [L, B, 2R]
 
+    if cfg.decoder_kernel == "pallas":
+        from vqvae_tpu.kernels.wavenet_train_pallas import (
+            decoder_stack_pallas,
+        )
+        skips = decoder_stack_pallas(params, cfg, h, cond, gcond)
+        return _head(params, cfg, skips)
+
     def layer(h, skips, wf, vc, gc, wr, br, ws, bs, dil):
         u = shift_right(h, dil) @ wf[0].astype(cdt) + h @ wf[1].astype(cdt)
         u = u + cond @ vc.astype(cdt) + gc[:, None, :]
