@@ -85,6 +85,33 @@ def test_dp_tp_mesh_full_step():
     assert np.all(np.isfinite(cb))
 
 
+def test_pallas_decoder_dp_and_tp():
+    """The fused Pallas training stack composes with pjit sharding:
+    8-way DP matches 1 device, and the 4x2 DP+TP mesh matches pure DP
+    (jit partitions the kernel's batch grid over 'data' and gathers the
+    model-sharded weights around the custom call)."""
+    cfg = _cfg()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, decoder_kernel="pallas"))
+    wav, spk = _one_batch(cfg)
+    losses = {}
+    for name, mesh in (("1dev", make_mesh(devices=jax.devices()[:1])),
+                       ("dp", make_mesh()),
+                       ("dp_tp", make_mesh(model=2))):
+        jit_for, sh_of = make_train_step(cfg, mesh)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        sh = sh_of(state)
+        state = jax.device_put(state, sh)
+        bsh = batch_sharding(mesh)
+        state, m = jit_for(sh)(state, jax.device_put(wav, bsh),
+                               jax.device_put(spk, bsh))
+        losses[name] = float(m["loss"])
+        cb = jax.device_get(state.params["decoder"]["layers"]["wf"])
+        assert np.all(np.isfinite(cb))
+    assert abs(losses["1dev"] - losses["dp"]) < 1e-4, losses
+    assert abs(losses["dp"] - losses["dp_tp"]) < 1e-4, losses
+
+
 def test_ema_dp_tp_mesh_matches_dp():
     """EMA codebook + dead-code restart on the 4x2 mesh: codebook and
     EMA accumulators match the pure-DP run (the K-sharded count/sum

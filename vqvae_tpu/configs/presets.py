@@ -160,7 +160,8 @@ def _tiny() -> Config:
 
 def _vctk_single() -> Config:
     """BASELINE configs[1]: single-speaker VCTK (p225), K=512."""
-    model = ModelConfig(n_speakers=1, speaker_embed_dim=16)
+    model = ModelConfig(n_speakers=1, speaker_embed_dim=16,
+                        decoder_kernel="pallas")
     data = DataConfig(speaker="p225", n_speakers=1)
     return Config(data=data, model=model,
                   train=TrainConfig(eval_every=1000),
@@ -168,8 +169,15 @@ def _vctk_single() -> Config:
 
 
 def _vctk_multi() -> Config:
-    """BASELINE configs[2]: multi-speaker VCTK, global conditioning."""
-    return Config(train=TrainConfig(eval_every=1000), name="vctk-multi")
+    """BASELINE configs[2]: multi-speaker VCTK, global conditioning.
+
+    decoder_kernel='pallas': measured faster than the XLA layer loop at
+    the preset batch (B=16: 21.2 vs 24.1 ms/step) and scales linearly
+    where XLA collapses (B=32: 41.5 vs 76.4) — docs/PERF.md. First
+    compile of the fused kernels is minutes (persistent-cached).
+    """
+    return Config(model=ModelConfig(decoder_kernel="pallas"),
+                  train=TrainConfig(eval_every=1000), name="vctk-multi")
 
 
 def _fastgen() -> Config:
@@ -179,7 +187,10 @@ def _fastgen() -> Config:
 
 def _stretch() -> Config:
     """BASELINE configs[4]: EMA codebook + 30-layer WaveNet + batch 64."""
-    model = ModelConfig(ema=True, code_restart_threshold=1e-3)
+    # pallas decoder kernels: 2.6x over the XLA loop at B=64
+    # (84 vs 222 ms/step on one v5e core — docs/PERF.md)
+    model = ModelConfig(ema=True, code_restart_threshold=1e-3,
+                        decoder_kernel="pallas")
     train = TrainConfig(batch_size=64, eval_every=1000)
     return Config(model=model, train=train, name="stretch")
 

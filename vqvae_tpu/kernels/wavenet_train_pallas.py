@@ -52,26 +52,41 @@ MAX_CHUNK_LAYERS = 10
 
 
 def _shift_right(x: jax.Array, n: int) -> jax.Array:
+    """Causal shift along the time axis (axis -2; batch-group aware)."""
     if n == 0:
         return x
-    return jnp.concatenate(
-        [jnp.zeros((n,) + x.shape[1:], x.dtype), x[:-n]], axis=0)
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (n, 0)
+    return jnp.pad(x, pad)[..., : x.shape[-2], :]
 
 
 def _shift_left(x: jax.Array, n: int) -> jax.Array:
     if n == 0:
         return x
-    return jnp.concatenate(
-        [x[n:], jnp.zeros((n,) + x.shape[1:], x.dtype)], axis=0)
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, n)
+    return jnp.pad(x, pad)[..., n:, :]
 
 
-def _u_of(h, cond, gc_ref, wff_ref, vc_ref, li, dil):
-    ph = jnp.concatenate([_shift_right(h, dil), h], axis=-1)  # [T, 2R]
+def _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil):
+    """h [G,T,R], cond_f [G*T,d] -> (ph [G*T,2R], u [G,T,2R] f32)."""
+    G, T, R = h.shape
+    ph = jnp.concatenate([_shift_right(h, dil), h],
+                         axis=-1).reshape(G * T, 2 * R)
     u = (jnp.dot(ph, wff_ref[li], preferred_element_type=jnp.float32)
-         + jnp.dot(cond, vc_ref[li],
+         + jnp.dot(cond_f, vc_ref[li],
                    preferred_element_type=jnp.float32)
-         + gc_ref[0, li].astype(jnp.float32))
+         ).reshape(G, T, 2 * R) + gc_ref[:, li][:, None, :].astype(
+             jnp.float32)
     return ph, u
+
+
+def _gate(u, R, cdt):
+    """u [G,T,2R] f32 -> (ta, sb [G,T,R] f32, z [G*T,R] cdt)."""
+    ta = jnp.tanh(u[..., :R])
+    sb = jax.nn.sigmoid(u[..., R:])
+    z = (ta * sb).astype(cdt).reshape(-1, R)
+    return ta, sb, z
 
 
 def _fwd_kernel(dils: Tuple[int, ...], R: int,
@@ -79,19 +94,21 @@ def _fwd_kernel(dils: Tuple[int, ...], R: int,
                 br_ref, ws_ref,
                 hout_ref, skips_ref):
     cdt = h_ref.dtype
-    h = h_ref[0]                                     # [T, R]
-    cond = cond_ref[0]
-    skips = jnp.zeros((h.shape[0], ws_ref.shape[-1]), jnp.float32)
+    h = h_ref[...]                                   # [G, T, R]
+    G, T, _ = h.shape
+    cond_f = cond_ref[...].reshape(G * T, -1)
+    skips = jnp.zeros((G * T, ws_ref.shape[-1]), jnp.float32)
     for li, dil in enumerate(dils):
-        _, u = _u_of(h, cond, gc_ref, wff_ref, vc_ref, li, dil)
-        z = (jnp.tanh(u[:, :R]) * jax.nn.sigmoid(u[:, R:])).astype(cdt)
-        h = (h + jnp.dot(z, wr_ref[li],
-                         preferred_element_type=jnp.float32).astype(cdt)
-             + br_ref[li].astype(cdt))
+        _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
+        _, _, z = _gate(u, R, cdt)
+        h = (h.reshape(G * T, R)
+             + jnp.dot(z, wr_ref[li],
+                       preferred_element_type=jnp.float32).astype(cdt)
+             + br_ref[li].astype(cdt)).reshape(G, T, R)
         skips = skips + jnp.dot(z, ws_ref[li],
                                 preferred_element_type=jnp.float32)
-    hout_ref[0] = h
-    skips_ref[0] = skips.astype(cdt)
+    hout_ref[...] = h
+    skips_ref[...] = skips.reshape(G, T, -1).astype(cdt)
 
 
 def _bwd_kernel(dils: Tuple[int, ...], R: int,
@@ -103,22 +120,24 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
     cdt = h_ref.dtype
     b = pl.program_id(0)
     nl = len(dils)
-    cond = cond_ref[0]
-    dskips = dskips_ref[0].astype(cdt)               # [T, S]
+    h = h_ref[...]                                   # [G, T, R]
+    G, T, _ = h.shape
+    cond_f = cond_ref[...].reshape(G * T, -1)
+    dskips = dskips_ref[...].reshape(G * T, -1).astype(cdt)
 
     # pass 1: recompute the chunk forward, parking layer inputs in VMEM
-    h = h_ref[0]
     for li, dil in enumerate(dils):
         hall_ref[li] = h
-        _, u = _u_of(h, cond, gc_ref, wff_ref, vc_ref, li, dil)
-        z = (jnp.tanh(u[:, :R]) * jax.nn.sigmoid(u[:, R:])).astype(cdt)
-        h = (h + jnp.dot(z, wr_ref[li],
-                         preferred_element_type=jnp.float32).astype(cdt)
-             + br_ref[li].astype(cdt))
+        _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
+        _, _, z = _gate(u, R, cdt)
+        h = (h.reshape(G * T, R)
+             + jnp.dot(z, wr_ref[li],
+                       preferred_element_type=jnp.float32).astype(cdt)
+             + br_ref[li].astype(cdt)).reshape(G, T, R)
 
     # pass 2: reverse sweep
-    dh = dhout_ref[0].astype(jnp.float32)            # [T, R]
-    dcond = jnp.zeros(cond.shape, jnp.float32)
+    dh = dhout_ref[...].reshape(G * T, R).astype(jnp.float32)
+    dcond = jnp.zeros(cond_f.shape, jnp.float32)
 
     @pl.when(b == 0)
     def _init():
@@ -130,13 +149,11 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
 
     for li in reversed(range(nl)):
         dil = dils[li]
-        hin = hall_ref[li]
-        ph, u = _u_of(hin, cond, gc_ref, wff_ref, vc_ref, li, dil)
-        ta = jnp.tanh(u[:, :R])
-        sb = jax.nn.sigmoid(u[:, R:])
-        z = (ta * sb).astype(cdt)
+        hin = hall_ref[li]                           # [G, T, R]
+        ph, u = _u_of(hin, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
+        ta, sb, z = _gate(u, R, cdt)
 
-        dh_c = dh.astype(cdt)
+        dh_c = dh.astype(cdt)                        # [G*T, R]
         # h_{li+1} = h_li + z @ wr + br ; skips += z @ ws
         dbr_ref[li] += jnp.sum(dh, axis=0)
         dwr_ref[li] += jnp.dot(z.T, dh_c,
@@ -146,24 +163,28 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
         dz = (jnp.dot(dh_c, wr_ref[li].T,
                       preferred_element_type=jnp.float32)
               + jnp.dot(dskips, ws_ref[li].T,
-                        preferred_element_type=jnp.float32))
+                        preferred_element_type=jnp.float32)
+              ).reshape(G, T, R)
         da = dz * sb * (1.0 - ta * ta)
         db = dz * ta * sb * (1.0 - sb)
-        du = jnp.concatenate([da, db], axis=-1).astype(cdt)  # [T, 2R]
+        du_g = jnp.concatenate([da, db], axis=-1)    # [G, T, 2R] f32
+        du = du_g.astype(cdt).reshape(G * T, 2 * R)
 
-        dgc_ref[0, li] = jnp.sum(du.astype(jnp.float32), axis=0)
+        dgc_ref[:, li] = jnp.sum(du_g, axis=1)
         dwff_ref[li] += jnp.dot(ph.T, du,
                                 preferred_element_type=jnp.float32)
-        dvc_ref[li] += jnp.dot(cond.T, du,
+        dvc_ref[li] += jnp.dot(cond_f.T, du,
                                preferred_element_type=jnp.float32)
         dcond = dcond + jnp.dot(du, vc_ref[li].T,
                                 preferred_element_type=jnp.float32)
         dph = jnp.dot(du, wff_ref[li].T,
-                      preferred_element_type=jnp.float32)    # [T, 2R]
-        dh = dh + dph[:, R:] + _shift_left(dph[:, :R], dil)
+                      preferred_element_type=jnp.float32
+                      ).reshape(G, T, 2 * R)
+        dh = (dh.reshape(G, T, R) + dph[..., R:]
+              + _shift_left(dph[..., :R], dil)).reshape(G * T, R)
 
-    dh_ref[0] = dh.astype(cdt)
-    dcond_ref[0] = dcond.astype(cdt)
+    dh_ref[...] = dh.reshape(G, T, R).astype(cdt)
+    dcond_ref[...] = dcond.reshape(G, T, -1).astype(cdt)
 
 
 def _const_spec(*shape):
@@ -171,10 +192,20 @@ def _const_spec(*shape):
                         memory_space=pltpu.VMEM)
 
 
-def _batch_spec(*shape):
-    return pl.BlockSpec((1,) + shape,
+def _group_spec(G: int, *shape):
+    """Blocks of G batch elements per sequential grid step."""
+    return pl.BlockSpec((G,) + shape,
                         lambda b: (b,) + tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
+
+
+def _group_of(B: int, want: int = 2) -> int:
+    """Batch elements per program. Grouping pairs halves per-program
+    fixed costs and doubles matmul rows; used for the FORWARD kernel
+    only — the backward's recompute scratch ([nl,G,T,R]) plus its f32
+    temporaries exceed VMEM at G=2/T=7680 (measured 167M > 128M), so
+    the backward runs G=1."""
+    return want if B % want == 0 else 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -191,20 +222,21 @@ def _chunk_fwd_call(dils, interpret, h, cond, gc, wff, vc, wr, br, ws):
     d = cond.shape[-1]
     nl = len(dils)
     S = ws.shape[-1]
+    G = _group_of(B)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, dils, R),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            _batch_spec(T, R),              # h
-            _batch_spec(T, d),              # cond
-            _batch_spec(nl, 2 * R),         # gc  [B,nl,2R]
+            _group_spec(G, T, R),           # h
+            _group_spec(G, T, d),           # cond
+            _group_spec(G, nl, 2 * R),      # gc  [B,nl,2R]
             _const_spec(nl, 2 * R, 2 * R),  # wff
             _const_spec(nl, d, 2 * R),      # vc
             _const_spec(nl, R, R),          # wr
             _const_spec(nl, R),             # br
             _const_spec(nl, R, S),          # ws
         ],
-        out_specs=[_batch_spec(T, R), _batch_spec(T, S)],
+        out_specs=[_group_spec(G, T, R), _group_spec(G, T, S)],
         out_shape=[jax.ShapeDtypeStruct((B, T, R), h.dtype),
                    jax.ShapeDtypeStruct((B, T, S), h.dtype)],
         compiler_params=pltpu.CompilerParams(
@@ -229,25 +261,26 @@ def _chunk_vjp_bwd(dils, interpret, res, cots):
     nl = len(dils)
     S = ws.shape[-1]
     f32 = jnp.float32
+    G = _group_of(B, 1)
     dh, dcond, dgc, dwff, dvc, dwr, dbr, dws = pl.pallas_call(
         functools.partial(_bwd_kernel, dils, R),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            _batch_spec(T, R),              # h
-            _batch_spec(T, d),              # cond
-            _batch_spec(nl, 2 * R),         # gc
+            _group_spec(G, T, R),           # h
+            _group_spec(G, T, d),           # cond
+            _group_spec(G, nl, 2 * R),      # gc
             _const_spec(nl, 2 * R, 2 * R),  # wff
             _const_spec(nl, d, 2 * R),      # vc
             _const_spec(nl, R, R),          # wr
             _const_spec(nl, R),             # br
             _const_spec(nl, R, S),          # ws
-            _batch_spec(T, R),              # dhout
-            _batch_spec(T, S),              # dskips
+            _group_spec(G, T, R),           # dhout
+            _group_spec(G, T, S),           # dskips
         ],
         out_specs=[
-            _batch_spec(T, R),              # dh
-            _batch_spec(T, d),              # dcond
-            _batch_spec(nl, 2 * R),         # dgc [B,nl,2R]
+            _group_spec(G, T, R),           # dh
+            _group_spec(G, T, d),           # dcond
+            _group_spec(G, nl, 2 * R),      # dgc [B,nl,2R]
             _const_spec(nl, 2 * R, 2 * R),  # dwff (grid-accumulated)
             _const_spec(nl, d, 2 * R),      # dvc
             _const_spec(nl, R, R),          # dwr
@@ -265,7 +298,8 @@ def _chunk_vjp_bwd(dils, interpret, res, cots):
             jax.ShapeDtypeStruct((nl, R, S), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nl, T, R), h.dtype),  # recomputed layer inputs
+            # recomputed layer inputs, parked across the reverse sweep
+            pltpu.VMEM((nl, G, T, R), h.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
