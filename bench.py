@@ -97,14 +97,11 @@ def _bench_training() -> dict:
     spk = jax.device_put(
         (np.arange(B) % cfg.model.n_speakers).astype(np.int32), bsh)
 
-    # XLA's own FLOP count for the whole compiled step (fwd+bwd+Adam)
-    try:
-        cost = step.lower(state, wav, spk).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-    except Exception:
-        flops = 0.0
+    # Analytic FLOP count (vqvae_tpu.utils.flops): XLA cost_analysis
+    # matches it within 1% on the pure-XLA path but cannot see inside
+    # the Pallas training kernels the flagship preset defaults to.
+    from vqvae_tpu.utils.flops import train_step_flops
+    flops = train_step_flops(cfg, B)
 
     for _ in range(3):  # compile + warmup
         state, metrics = step(state, wav, spk)

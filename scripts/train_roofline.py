@@ -29,32 +29,9 @@ V5E_HBM_BW = 819e9      # bytes/s
 
 def analytical_flops(cfg, batch: int) -> dict:
     """Hand-derived FLOP count of one train step (fwd + ~2x bwd)."""
-    m = cfg.model
-    T = cfg.data.length
-    B = batch
-    R, S, d, mu = (m.residual_channels, m.skip_channels, m.d, m.mu)
-    L = m.n_layers_total
-    # decoder per sample per layer: 2-tap dilated conv (2*R*2R MACs),
-    # local cond (d*2R), residual (R*R), skip (R*S)
-    dec = L * (2 * R * 2 * R + d * 2 * R + R * R + R * S)
-    head = S * S + S * mu
-    emb = 2 * R  # gathers, negligible
-    # encoder: 6 stride-2 convs k=4 (ch->ch) + 1x1 proj, at decreasing T
-    enc = 0
-    ch_in = 1
-    t = T
-    for _ in range(m.enc_layers):
-        t //= m.enc_stride
-        enc += t * m.enc_kernel * ch_in * m.enc_channels / T
-        ch_in = m.enc_channels
-    enc += (T // m.hop) * m.enc_channels * d / T
-    # upsample transposed conv: kernel 2*hop, stride hop -> 2 taps/output
-    ups = 2 * d * d
-    # VQ distance matmul at latent rate
-    vq = (m.K * d) / m.hop
-    macs_per_sample = dec + head + emb + enc + ups + vq
-    fwd = 2 * macs_per_sample * B * T  # 2 FLOPs per MAC
-    return {"fwd_gflops": fwd / 1e9, "step_gflops": 3 * fwd / 1e9}
+    from vqvae_tpu.utils.flops import train_step_flops
+    step = train_step_flops(cfg, batch)
+    return {"fwd_gflops": step / 3 / 1e9, "step_gflops": step / 1e9}
 
 
 def bench_batch(cfg_base, B: int, steps: int, profile: bool,
@@ -104,10 +81,13 @@ def bench_batch(cfg_base, B: int, steps: int, profile: bool,
         jax.profiler.stop_trace()
 
     ana = analytical_flops(cfg, B)
-    mfu = xla_flops / dt / V5E_BF16_PEAK if xla_flops else float("nan")
+    # MFU from the analytic count: XLA's cost_analysis cannot see
+    # inside Pallas custom calls (decoder_kernel="pallas")
+    mfu = ana["step_gflops"] * 1e9 / dt / V5E_BF16_PEAK
     return {
         "batch": B,
         "remat": cfg.model.remat,
+        "decoder_kernel": cfg.model.decoder_kernel,
         "ms_per_step": round(dt * 1e3, 2),
         "utt_per_s": round(B / dt, 1),
         "xla_step_tflops": round(xla_flops / 1e12, 3),
@@ -124,6 +104,8 @@ def bench_batch(cfg_base, B: int, steps: int, profile: bool,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,24,32,48,64")
+    ap.add_argument("--decoder-kernel", default=None,
+                    choices=["xla", "pallas"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--profile-batch", type=int, default=0)
@@ -135,6 +117,9 @@ def main() -> None:
     if args.remat:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                     remat=True))
+    if args.decoder_kernel:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, decoder_kernel=args.decoder_kernel))
     print(f"device: {jax.devices()[0].device_kind}, "
           f"flagship T={cfg.data.length}, remat={cfg.model.remat}")
     rows = []
