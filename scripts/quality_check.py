@@ -59,7 +59,7 @@ def harmonic_ratio(wav: np.ndarray, sr: int, f0: float,
 
 def run_quality_check(steps: int = 3000, batch_size: int = 16,
                       out_dir: str | None = None,
-                      echo: bool = False) -> dict:
+                      echo: bool = False, vq: str = "ema") -> dict:
     import jax
     import jax.numpy as jnp
     from vqvae_tpu.audio.datasets import SineDataset
@@ -68,10 +68,15 @@ def run_quality_check(steps: int = 3000, batch_size: int = 16,
     from vqvae_tpu.infer.fastgen import synthesize
     from vqvae_tpu.train import train
 
+    # vq modes: "ema" (EMA codebook + restart), "plain-restart"
+    # (gradient codebook + usage-EMA restart), "plain" (the reference's
+    # bare gradient codebook — measured to collapse to 1/K codes here)
+    ema = vq == "ema"
+    restart = 0.0 if vq == "plain" else 1e-3
     cfg = get_config("tiny")
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, ema=True,
-                                  code_restart_threshold=1e-3),
+        model=dataclasses.replace(cfg.model, ema=ema,
+                                  code_restart_threshold=restart),
         train=dataclasses.replace(
             cfg.train, num_steps=steps, batch_size=batch_size,
             log_every=max(1, steps // 10), checkpoint_every=steps))
@@ -119,7 +124,7 @@ def run_quality_check(steps: int = 3000, batch_size: int = 16,
                 float(last_log["codebook_usage"]), 4),
             "final_loss1": round(float(last_log["loss1"]), 4),
             "eval_distinct_codes": int(len(np.unique(codes))),
-            "K": cfg.model.K}
+            "vq": vq, "K": cfg.model.K}
 
 
 def main() -> None:
@@ -127,9 +132,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--echo", action="store_true")
+    ap.add_argument("--vq", default="ema",
+                    choices=["ema", "plain-restart", "plain"])
     args = ap.parse_args()
     print(json.dumps(run_quality_check(args.steps, args.batch_size,
-                                       echo=args.echo)))
+                                       echo=args.echo, vq=args.vq)))
 
 
 if __name__ == "__main__":

@@ -65,7 +65,7 @@ def test_train_step_runs_and_loss_drops():
 
 
 @pytest.mark.parametrize("ema,restart", [(False, 0.0), (True, 0.0),
-                                          (True, 1e-3)])
+                                          (True, 1e-3), (False, 1e-3)])
 def test_dp_matches_single_device(ema, restart):
     """Same data, same init: 8-way DP must produce the same update as
     one device (XLA psum == serial sum), to float tolerance — including
@@ -145,6 +145,31 @@ def test_ema_training_step():
     assert not np.allclose(cb0, cb1)        # EMA moved the codebook
     assert np.isfinite(float(metrics["loss"]))
     assert float(np.sum(jax.device_get(state.vq_state.count))) > 0
+
+
+def test_non_ema_dead_code_restart():
+    """Gradient-trained codebook + dead-code restart (ROADMAP r1 #5):
+    usage counts are tracked without overwriting live rows, and rows
+    the data never selects get re-seeded from encoder outputs."""
+    cfg = _cfg(batch_size=8)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, ema=False, code_restart_threshold=1e-3))
+    mesh = make_mesh()
+    step_fn, state, _ = _make_step(cfg, mesh)
+    cb0 = jax.device_get(state.params["vq"]["codebook"])
+    bsh = batch_sharding(mesh)
+    for wav, spk in _fixed_batches(cfg, 3):
+        state, metrics = step_fn(state, jax.device_put(wav, bsh),
+                                 jax.device_put(spk, bsh))
+    assert np.isfinite(float(metrics["loss"]))
+    count = jax.device_get(state.vq_state.count)
+    assert float(np.sum(count)) > 0          # usage EMA is live
+    cb1 = jax.device_get(state.params["vq"]["codebook"])
+    # unused rows were re-seeded from batch encoder outputs (different
+    # distribution than the N(0,1) init), used rows took Adam steps —
+    # either way the codebook moved and stays finite
+    assert not np.allclose(cb0, cb1)
+    assert np.all(np.isfinite(cb1))
 
 
 def test_train_loop_end_to_end(tmp_path):

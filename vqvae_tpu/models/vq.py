@@ -111,6 +111,18 @@ def ema_update(params: Dict, state: VQState, z: jax.Array,
     return {"codebook": codebook}, VQState(count=count, sum=total)
 
 
+def usage_update(state: VQState, idx: jax.Array, cfg: ModelConfig
+                 ) -> VQState:
+    """Track assignment-count EMA WITHOUT touching the codebook — the
+    gradient-trained (non-EMA) path's usage signal for dead-code
+    restart (round-2 quality check measured the plain gradient codebook
+    collapsing to 1/K codes on synthetic harmonics)."""
+    onehot = jax.nn.one_hot(idx.reshape(-1), cfg.K, dtype=jnp.float32)
+    batch_count = jnp.sum(onehot, axis=0)
+    count = state.count * cfg.ema_decay + batch_count * (1 - cfg.ema_decay)
+    return VQState(count=count, sum=state.sum)
+
+
 def restart_dead_codes(params: Dict, state: VQState, z: jax.Array,
                        key: jax.Array, cfg: ModelConfig
                        ) -> Tuple[Dict, VQState]:

@@ -64,6 +64,17 @@ def train_step(state: TrainState, wav: jax.Array, speaker: jax.Array,
             new_vq, vq_state = restart_dead_codes(
                 new_vq, vq_state, aux["z"], key, mcfg)
         params = dict(params, vq=new_vq)
+    elif mcfg.code_restart_threshold > 0:
+        # gradient-trained codebook + dead-code restart: usage-count
+        # EMA only (the codebook itself keeps learning via loss2);
+        # dead rows re-seed from the current batch's encoder outputs
+        from vqvae_tpu.models.vq import restart_dead_codes, usage_update
+        vq_state = usage_update(state.vq_state, aux["indices"], mcfg)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.train.seed + 101), state.step)
+        new_vq, vq_state = restart_dead_codes(
+            params["vq"], vq_state, aux["z"], key, mcfg)
+        params = dict(params, vq=new_vq)
 
     new_state = TrainState(step=state.step + 1, params=params,
                            opt_state=opt_state, vq_state=vq_state)
