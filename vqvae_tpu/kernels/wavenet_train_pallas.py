@@ -116,7 +116,7 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
                 br_ref, ws_ref, dhout_ref, dskips_ref,
                 dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
                 dwr_ref, dbr_ref, dws_ref,
-                hall_ref):
+                hall_ref, gall_ref):
     cdt = h_ref.dtype
     b = pl.program_id(0)
     nl = len(dils)
@@ -125,11 +125,14 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
     cond_f = cond_ref[...].reshape(G * T, -1)
     dskips = dskips_ref[...].reshape(G * T, -1).astype(cdt)
 
-    # pass 1: recompute the chunk forward, parking layer inputs in VMEM
+    # pass 1: recompute the chunk forward, parking both the layer
+    # inputs AND the gate halves (ta|sb) in VMEM — pass 2 then needs
+    # neither the u matmuls nor the transcendentals again
     for li, dil in enumerate(dils):
         hall_ref[li] = h
         _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
-        _, _, z = _gate(u, R, cdt)
+        ta, sb, z = _gate(u, R, cdt)
+        gall_ref[li] = jnp.concatenate([ta, sb], axis=-1).astype(cdt)
         h = (h.reshape(G * T, R)
              + jnp.dot(z, wr_ref[li],
                        preferred_element_type=jnp.float32).astype(cdt)
@@ -150,8 +153,12 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
     for li in reversed(range(nl)):
         dil = dils[li]
         hin = hall_ref[li]                           # [G, T, R]
-        ph, u = _u_of(hin, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
-        ta, sb, z = _gate(u, R, cdt)
+        ph = jnp.concatenate([_shift_right(hin, dil), hin],
+                             axis=-1).reshape(G * T, 2 * R)
+        g = gall_ref[li]
+        ta = g[..., :R].astype(jnp.float32)
+        sb = g[..., R:].astype(jnp.float32)
+        z = (ta * sb).astype(cdt).reshape(G * T, R)
 
         dh_c = dh.astype(cdt)                        # [G*T, R]
         # h_{li+1} = h_li + z @ wr + br ; skips += z @ ws
@@ -298,8 +305,10 @@ def _chunk_vjp_bwd(dils, interpret, res, cots):
             jax.ShapeDtypeStruct((nl, R, S), f32),
         ],
         scratch_shapes=[
-            # recomputed layer inputs, parked across the reverse sweep
+            # recomputed layer inputs + gate halves, parked across the
+            # reverse sweep (nl<=10: ~20 MB + ~20 MB at T=7680, G=1)
             pltpu.VMEM((nl, G, T, R), h.dtype),
+            pltpu.VMEM((nl, G, T, 2 * R), h.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
