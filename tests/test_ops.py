@@ -47,6 +47,39 @@ def test_take_rows_matches_gather_fwd_and_grad():
                                atol=1e-6)
 
 
+def test_analytic_flops_matches_xla_cost_analysis():
+    """The analytic train-step FLOP count (used for MFU reporting when
+    XLA's cost analysis can't see inside Pallas calls) agrees with
+    XLA's own count on the pure-XLA path."""
+    import dataclasses
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
+    from vqvae_tpu.train import create_train_state, make_train_step
+    from vqvae_tpu.utils.flops import train_step_flops
+
+    cfg = get_config("tiny")
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                batch_size=8))
+    mesh = make_mesh(devices=jax.devices()[:1])
+    jit_for, sh_of = make_train_step(cfg, mesh)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = sh_of(state)
+    state = jax.device_put(state, sh)
+    bsh = batch_sharding(mesh)
+    wav = jax.device_put(np.zeros((8, cfg.data.length + 1),
+                                  np.float32), bsh)
+    spk = jax.device_put(np.zeros(8, np.int32), bsh)
+    cost = jit_for(sh).lower(state, wav, spk).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    xla = float(cost.get("flops", 0.0))
+    ana = train_step_flops(cfg, 8)
+    assert xla > 0
+    # same order and within 25% (the analytic model counts only the
+    # dominant contractions; bwd is approximated as 2x fwd)
+    assert 0.75 < ana / xla < 1.33, (ana, xla)
+
+
 def test_manual_ce_matches_optax():
     """The one-hot-contraction CE in models/vqvae.forward equals
     optax's integer-label CE (value and gradient)."""

@@ -56,3 +56,51 @@ def test_sharded_conv_jit_composes():
     np.testing.assert_allclose(np.asarray(stack_sharded(xs)),
                                np.asarray(stack_ref(x)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sp_decoder_matches_unsharded():
+    """The WHOLE teacher-forced decoder stack under time sharding ==
+    apply_decoder on the gathered sequence (per-layer halo exchange,
+    1-frame halo for the input conv, pointwise everything else)."""
+    import jax.numpy as jnp
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.models import init_model
+    from vqvae_tpu.models.wavenet import apply_decoder, upsample_cond
+    from vqvae_tpu.parallel.mesh import make_mesh
+    from vqvae_tpu.parallel.sp_decoder import apply_decoder_sp
+
+    cfg = get_config("tiny").model   # max dilation 512
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 4096
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, cfg.mu)
+    e = jax.random.normal(jax.random.PRNGKey(2),
+                          (B, T // cfg.hop, cfg.d))
+    cond = upsample_cond(params["decoder"], cfg, e)
+    spk = jnp.arange(B) % cfg.n_speakers
+
+    ref = apply_decoder(params["decoder"], cfg, ids, cond, spk)
+    for n in (2, 4):  # 4096/4 = 1024 >= max dil 512
+        mesh = make_mesh(data=n, model=1,
+                         devices=jax.devices()[:n])
+        got = apply_decoder_sp(params, cfg, ids, cond, spk, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"SP mismatch at n={n}")
+
+
+def test_sp_decoder_rejects_oversized_dilation():
+    import jax.numpy as jnp
+    import pytest
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.models import init_model
+    from vqvae_tpu.parallel.mesh import make_mesh
+    from vqvae_tpu.parallel.sp_decoder import apply_decoder_sp
+
+    cfg = get_config("tiny").model
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=8, model=1)
+    ids = jnp.zeros((1, 1024), jnp.int32)   # 1024/8 = 128 < 512
+    cond = jnp.zeros((1, 1024, cfg.d))
+    with pytest.raises(AssertionError):
+        apply_decoder_sp(params, cfg, ids, cond,
+                         jnp.zeros((1,), jnp.int32), mesh)
