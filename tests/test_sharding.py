@@ -85,6 +85,31 @@ def test_dp_tp_mesh_full_step():
     assert np.all(np.isfinite(cb))
 
 
+def test_multi_slice_mesh_matches_single_device():
+    """('slice','data','model') 2x2x2 mesh: batch over ('slice','data'),
+    grads psum'd per-slice over ICI then combined over DCN (all
+    XLA-inserted) — identical update to one device."""
+    cfg = _cfg()
+    wav, spk = _one_batch(cfg)
+    results = []
+    for mesh in (make_mesh(devices=jax.devices()[:1]),
+                 make_mesh(data=2, model=2, slices=2)):
+        assert cfg.train.batch_size % (
+            mesh.shape["data"] * mesh.shape.get("slice", 1)) == 0
+        jit_for, sh_of = make_train_step(cfg, mesh)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        sh = sh_of(state)
+        state = jax.device_put(state, sh)
+        bsh = batch_sharding(mesh)
+        state, m = jit_for(sh)(state, jax.device_put(wav, bsh),
+                               jax.device_put(spk, bsh))
+        results.append((float(m["loss"]),
+                        jax.device_get(state.params["vq"]["codebook"])))
+    assert abs(results[0][0] - results[1][0]) < 1e-4
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_pallas_decoder_dp_and_tp():
     """The fused Pallas training stack composes with pjit sharding:
     8-way DP matches 1 device, and the 4x2 DP+TP mesh matches pure DP

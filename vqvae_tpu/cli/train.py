@@ -27,6 +27,8 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=None,
                    help="'model' (tensor-parallel) mesh axis size")
+    p.add_argument("--mesh-slices", type=int, default=None,
+                   help="multi-slice pods: outer (DCN) mesh axis size")
     p.add_argument("--impl", default="lax", choices=["lax", "pallas"],
                    help="VQ kernel implementation")
     p.add_argument("--decoder-kernel", default=None,
@@ -51,6 +53,8 @@ def main() -> None:
         tr["out_dir"] = args.out
     if args.mesh_model is not None:
         tr["mesh_model"] = args.mesh_model
+    if args.mesh_slices is not None:
+        tr["mesh_slices"] = args.mesh_slices
     if args.eval_every is not None:
         tr["eval_every"] = args.eval_every
     if args.tensorboard:

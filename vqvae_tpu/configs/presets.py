@@ -130,6 +130,7 @@ class TrainConfig:
     # device mesh axis sizes; data axis is padded with -1 = "all remaining"
     mesh_data: int = -1
     mesh_model: int = 1
+    mesh_slices: int = 1         # multi-slice pods: outer DCN axis
 
 
 @dataclasses.dataclass(frozen=True)

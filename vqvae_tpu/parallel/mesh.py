@@ -24,17 +24,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1,
+def make_mesh(data: int = -1, model: int = 1, slices: int = 1,
               devices: Sequence[jax.Device] | None = None) -> Mesh:
-    """Build a ('data', 'model') mesh. data=-1 means 'all remaining'."""
+    """Build a ('data', 'model') mesh — or, with ``slices > 1``, a
+    ('slice', 'data', 'model') mesh for multi-slice pods.
+
+    Axis order encodes the physical hierarchy: 'slice' is the
+    OUTERMOST (slowest-varying) axis, so consecutive devices — which
+    JAX enumerates ICI-contiguous within a slice — land in the same
+    'slice' row and the cross-slice gradient reduction is the only
+    traffic that rides DCN. data=-1 means 'all remaining'.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
-        data = n // model
-    assert data * model == n, (data, model, n)
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        assert n % (model * slices) == 0, (n, model, slices)
+        data = n // (model * slices)
+    assert slices * data * model == n, (slices, data, model, n)
+    if slices == 1:
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, axis_names=("data", "model"))
+    arr = np.asarray(devices).reshape(slices, data, model)
+    return Mesh(arr, axis_names=("slice", "data", "model"))
+
+
+def _data_axes(mesh: Mesh):
+    """Batch-sharding axes: ('slice','data') on a 3-axis mesh."""
+    return ("slice", "data") if "slice" in mesh.axis_names else "data"
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -42,8 +58,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis sharded over 'data'."""
-    return NamedSharding(mesh, P("data"))
+    """Leading (batch) axis sharded over the data axes (and 'slice'
+    on a multi-slice mesh — per-slice gradient psums run over ICI,
+    the cross-slice combine over DCN, both inserted by XLA)."""
+    return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
 def _spec_for(path: str, x: Any, model_size: int) -> P:

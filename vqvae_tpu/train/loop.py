@@ -34,10 +34,12 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     leaves stay sharded — use jax.device_get on what you need)."""
     out_dir = out_dir or cfg.train.out_dir
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
-    mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
-    assert cfg.train.batch_size % mesh.shape["data"] == 0, (
-        f"global batch {cfg.train.batch_size} must divide the 'data' mesh "
-        f"axis ({mesh.shape['data']} devices)")
+    mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model,
+                             cfg.train.mesh_slices)
+    n_data = mesh.shape["data"] * mesh.shape.get("slice", 1)
+    assert cfg.train.batch_size % n_data == 0, (
+        f"global batch {cfg.train.batch_size} must divide the "
+        f"batch-sharding axes ({n_data} devices)")
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
     jit_step_for, state_shardings = make_train_step(cfg, mesh, impl)
