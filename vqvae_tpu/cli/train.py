@@ -32,9 +32,13 @@ def main() -> None:
     p.add_argument("--impl", default="lax", choices=["lax", "pallas"],
                    help="VQ kernel implementation")
     p.add_argument("--decoder-kernel", default=None,
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "pallas_sg"],
                    help="training-path gated-residual stack: XLA layer "
                         "loop or fused Pallas chunk kernels")
+    p.add_argument("--loader", default=None,
+                   choices=["threads", "grain"],
+                   help="host input pipeline (identical stream; "
+                        "grain adds worker processes)")
     p.add_argument("--eval-every", type=int, default=None,
                    help="validation evaluation interval (steps)")
     p.add_argument("--tensorboard", action="store_true",
@@ -55,6 +59,8 @@ def main() -> None:
         tr["mesh_model"] = args.mesh_model
     if args.mesh_slices is not None:
         tr["mesh_slices"] = args.mesh_slices
+    if args.loader is not None:
+        tr["loader"] = args.loader
     if args.eval_every is not None:
         tr["eval_every"] = args.eval_every
     if args.tensorboard:

@@ -72,10 +72,18 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # matmul/conv dtype on TPU
     param_dtype: str = "float32"
     # training-path gated-residual stack implementation: "xla" (layer
-    # loop of shifted matmuls) or "pallas" (fused per-layer kernels with
-    # a recomputing custom-vjp backward — kernels/wavenet_train_pallas).
-    # Numerically pinned against each other in tests/test_kernels.py.
+    # loop of shifted matmuls), "pallas" (fused chunk kernels with a
+    # recomputing custom-vjp backward — zero activation HBM), or
+    # "pallas_sg" (same kernels, but the forward saves the gate halves
+    # to HBM so the backward skips the u-matmul/transcendental
+    # recompute — kernels/wavenet_train_pallas.py; tradeoff measured in
+    # docs/PERF.md). Numerically pinned against each other in
+    # tests/test_kernels.py.
     decoder_kernel: str = "xla"
+    # encoder implementation: "xla" (strided convs as folded matmuls,
+    # ops/conv.py) or "pallas" (whole stack fused in one kernel —
+    # kernels/encoder_pallas.py)
+    encoder_kernel: str = "xla"
     remat: bool = False          # jax.checkpoint each decoder layer:
     # trades recompute FLOPs for backward activation memory. Measured on
     # v5e flagship: hurts throughput at B<=64 (compute-bound), so off by
@@ -117,6 +125,9 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # non-EMA (gradient) codebook: multiplier on the codebook leaf's
+    # Adam update (1.0 = reference behaviour; see train/state.py)
+    codebook_lr_mult: float = 1.0
     num_steps: int = 200_000
     log_every: int = 100
     eval_every: int = 0          # 0 disables validation evaluation
@@ -124,6 +135,7 @@ class TrainConfig:
     checkpoint_every: int = 2000
     keep_checkpoints: int = 5
     tensorboard: bool = False    # also mirror metrics to TB scalars
+    loader: str = "threads"      # host pipeline: "threads" | "grain"
     profile_steps: int = 0       # trace steps [10, 10+N) to <out>/profile
     out_dir: str = "result"
     seed: int = 0

@@ -54,13 +54,16 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         state = jax.device_put(state, shardings)
         start = int(jax.device_get(state.step))
 
-    from vqvae_tpu.audio.loader import BatchLoader
+    from vqvae_tpu.audio.grain_loader import make_loader
     from vqvae_tpu.train.step import make_eval_step
     # deterministic, resumable stream: batch i is a pure function of
     # (seed, i); resuming at step N replays exactly what a straight run
-    # would have seen (reference parity: iterator-position restore)
-    loader = BatchLoader(dataset, cfg.train.batch_size,
-                         seed=cfg.train.seed, start_batch=start)
+    # would have seen (reference parity: iterator-position restore).
+    # Both loader kinds ("threads" default, "grain") produce the SAME
+    # stream — audio/grain_loader.py.
+    loader = make_loader(cfg.train.loader, dataset,
+                         cfg.train.batch_size, seed=cfg.train.seed,
+                         start_batch=start)
     logger = MetricsLogger(out_dir,
                            tensorboard=cfg.train.tensorboard)
     bshard = batch_sharding(mesh)
