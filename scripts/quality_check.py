@@ -59,7 +59,8 @@ def harmonic_ratio(wav: np.ndarray, sr: int, f0: float,
 
 def run_quality_check(steps: int = 3000, batch_size: int = 16,
                       out_dir: str | None = None,
-                      echo: bool = False, vq: str = "ema") -> dict:
+                      echo: bool = False, vq: str = "ema",
+                      codebook_lr_mult: float = 1.0) -> dict:
     import jax
     import jax.numpy as jnp
     from vqvae_tpu.audio.datasets import SineDataset
@@ -79,6 +80,7 @@ def run_quality_check(steps: int = 3000, batch_size: int = 16,
                                   code_restart_threshold=restart),
         train=dataclasses.replace(
             cfg.train, num_steps=steps, batch_size=batch_size,
+            codebook_lr_mult=codebook_lr_mult,
             log_every=max(1, steps // 10), checkpoint_every=steps))
     out_dir = out_dir or tempfile.mkdtemp(prefix="vqvae_quality_")
     state = train(cfg, SineDataset(cfg.data), out_dir=out_dir,
@@ -124,7 +126,8 @@ def run_quality_check(steps: int = 3000, batch_size: int = 16,
                 float(last_log["codebook_usage"]), 4),
             "final_loss1": round(float(last_log["loss1"]), 4),
             "eval_distinct_codes": int(len(np.unique(codes))),
-            "vq": vq, "K": cfg.model.K}
+            "vq": vq, "codebook_lr_mult": codebook_lr_mult,
+            "K": cfg.model.K}
 
 
 def main() -> None:
@@ -134,9 +137,13 @@ def main() -> None:
     ap.add_argument("--echo", action="store_true")
     ap.add_argument("--vq", default="ema",
                     choices=["ema", "plain-restart", "plain"])
+    ap.add_argument("--codebook-lr-mult", type=float, default=1.0,
+                    help="non-EMA modes: scale the codebook leaf's "
+                         "Adam update (train/state.py)")
     args = ap.parse_args()
-    print(json.dumps(run_quality_check(args.steps, args.batch_size,
-                                       echo=args.echo, vq=args.vq)))
+    print(json.dumps(run_quality_check(
+        args.steps, args.batch_size, echo=args.echo, vq=args.vq,
+        codebook_lr_mult=args.codebook_lr_mult)))
 
 
 if __name__ == "__main__":

@@ -240,3 +240,34 @@ def test_weights_npz_round_trip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["vq"]["codebook"]),
         np.asarray(state.params["vq"]["codebook"]))
+
+
+def test_codebook_lr_mult_scales_only_codebook_update():
+    """codebook_lr_mult multiplies the codebook leaf's Adam update and
+    leaves every other leaf bit-identical (train/state.py)."""
+    from vqvae_tpu.models import init_model
+    from vqvae_tpu.train.state import make_optimizer
+
+    cfg1 = _cfg()
+    cfg5 = _cfg(codebook_lr_mult=5.0)
+    params = init_model(jax.random.PRNGKey(0), cfg1.model)
+    grads = jax.tree_util.tree_map(lambda p: np.ones_like(p), params)
+
+    def one_update(cfg):
+        opt = make_optimizer(cfg)
+        st = opt.init(params)
+        up, _ = opt.update(grads, st, params)
+        return up
+
+    u1, u5 = one_update(cfg1), one_update(cfg5)
+    flat1 = jax.tree_util.tree_flatten_with_path(u1)[0]
+    flat5 = jax.tree_util.tree_flatten_with_path(u5)[0]
+    saw_codebook = False
+    for (path, a), (_, b) in zip(flat1, flat5):
+        if any(getattr(k, "key", None) == "codebook" for k in path):
+            saw_codebook = True
+            np.testing.assert_allclose(np.asarray(b), 5.0 * np.asarray(a),
+                                       rtol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert saw_codebook

@@ -28,7 +28,23 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
-    return optax.adam(t.lr, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps)
+    adam = optax.adam(t.lr, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps)
+    if t.codebook_lr_mult == 1.0:
+        return adam
+    # gradient-trained (non-EMA) codebook: Adam self-normalises update
+    # magnitude, so scaling loss2 does nothing — a per-leaf multiplier
+    # on the codebook's Adam update is the lever (quality study in
+    # docs/PERF.md "gradient codebook"). Chained AFTER adam so only the
+    # final update scales; masked so every other leaf is untouched.
+    def codebook_mask(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(k, "key", None) == "codebook" for k in path),
+            tree)
+    return optax.chain(
+        adam,
+        optax.masked(
+            optax.scale(float(t.codebook_lr_mult)), codebook_mask))
 
 
 def create_train_state(key, cfg: Config) -> TrainState:
