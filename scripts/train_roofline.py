@@ -105,7 +105,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,24,32,48,64")
     ap.add_argument("--decoder-kernel", default=None,
-                    choices=["xla", "pallas"])
+                    choices=["xla", "pallas", "pallas_sg"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--profile-batch", type=int, default=0)

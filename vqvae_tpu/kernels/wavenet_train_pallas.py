@@ -27,6 +27,15 @@ blocks):
   ~80 MB for the flagship T=7680; chunks chain at the XLA level and
   compose with jax.checkpoint.
 
+save_gates variant ("pallas_sg", measured study in docs/PERF.md): the
+forward also writes each layer's gate halves (ta|sb, bf16
+[B,nl,T,2R]) to HBM, and the backward's pass 1 then replays only the
+residual chain — no u matmuls, no transcendentals.  HBM traffic
+(~39 MB/elem/chunk each way) buys back ~15% of the step's FLOPs:
+measured faster at B>=32 (best 838 utt/s at B=64 vs 800 recompute),
+slower at B=16 because the gall window forces the forward from G=2 to
+G=1.  Default stays "pallas"; select with decoder_kernel="pallas_sg".
+
 Shapes per chunk (nl layers): h [B,T,R], cond [B,T,d], gc [B,nl,2R]
 (global cond + conv bias, per layer), wff [nl,2R,2R] (two taps
 vstacked), vc [nl,d,2R], wr [nl,R,R], br [nl,R], ws [nl,R,S].
@@ -89,10 +98,10 @@ def _gate(u, R, cdt):
     return ta, sb, z
 
 
-def _fwd_kernel(dils: Tuple[int, ...], R: int,
+def _fwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
                 h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref,
                 br_ref, ws_ref,
-                hout_ref, skips_ref):
+                hout_ref, skips_ref, *rest):
     cdt = h_ref.dtype
     h = h_ref[...]                                   # [G, T, R]
     G, T, _ = h.shape
@@ -100,7 +109,10 @@ def _fwd_kernel(dils: Tuple[int, ...], R: int,
     skips = jnp.zeros((G * T, ws_ref.shape[-1]), jnp.float32)
     for li, dil in enumerate(dils):
         _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
-        _, _, z = _gate(u, R, cdt)
+        ta, sb, z = _gate(u, R, cdt)
+        if save_gates:
+            rest[0][:, li] = jnp.concatenate([ta, sb],
+                                             axis=-1).astype(cdt)
         h = (h.reshape(G * T, R)
              + jnp.dot(z, wr_ref[li],
                        preferred_element_type=jnp.float32).astype(cdt)
@@ -111,12 +123,17 @@ def _fwd_kernel(dils: Tuple[int, ...], R: int,
     skips_ref[...] = skips.reshape(G, T, -1).astype(cdt)
 
 
-def _bwd_kernel(dils: Tuple[int, ...], R: int,
+def _bwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
                 h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref,
-                br_ref, ws_ref, dhout_ref, dskips_ref,
-                dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
-                dwr_ref, dbr_ref, dws_ref,
-                hall_ref, gall_ref):
+                br_ref, ws_ref, dhout_ref, dskips_ref, *rest):
+    if save_gates:
+        # gates were saved to HBM by the forward — pass 1 only replays
+        # the cheap residual chain (one [T,R]x[R,R] matmul per layer)
+        (gall_in_ref, dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
+         dwr_ref, dbr_ref, dws_ref, hall_ref) = rest
+    else:
+        (dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
+         dwr_ref, dbr_ref, dws_ref, hall_ref, gall_ref) = rest
     cdt = h_ref.dtype
     b = pl.program_id(0)
     nl = len(dils)
@@ -127,12 +144,20 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
 
     # pass 1: recompute the chunk forward, parking both the layer
     # inputs AND the gate halves (ta|sb) in VMEM — pass 2 then needs
-    # neither the u matmuls nor the transcendentals again
+    # neither the u matmuls nor the transcendentals again.  In
+    # save_gates mode the gate halves come from HBM, so the u matmuls
+    # and transcendentals are skipped here too: only the residual
+    # chain (z @ wr) is replayed to reconstruct each layer's input.
     for li, dil in enumerate(dils):
         hall_ref[li] = h
-        _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
-        ta, sb, z = _gate(u, R, cdt)
-        gall_ref[li] = jnp.concatenate([ta, sb], axis=-1).astype(cdt)
+        if save_gates:
+            g = gall_in_ref[:, li]                   # [G, T, 2R]
+            z = (g[..., :R] * g[..., R:]).reshape(G * T, R)
+        else:
+            _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
+            ta, sb, z = _gate(u, R, cdt)
+            gall_ref[li] = jnp.concatenate([ta, sb],
+                                           axis=-1).astype(cdt)
         h = (h.reshape(G * T, R)
              + jnp.dot(z, wr_ref[li],
                        preferred_element_type=jnp.float32).astype(cdt)
@@ -155,7 +180,7 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int,
         hin = hall_ref[li]                           # [G, T, R]
         ph = jnp.concatenate([_shift_right(hin, dil), hin],
                              axis=-1).reshape(G * T, 2 * R)
-        g = gall_ref[li]
+        g = gall_in_ref[:, li] if save_gates else gall_ref[li]
         ta = g[..., :R].astype(jnp.float32)
         sb = g[..., R:].astype(jnp.float32)
         z = (ta * sb).astype(cdt).reshape(G * T, R)
@@ -215,23 +240,47 @@ def _group_of(B: int, want: int = 2) -> int:
     return want if B % want == 0 else 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_stack_chunk(dils: Tuple[int, ...], interpret: bool,
+                      save_gates: bool,
                       h, cond, gc, wff, vc, wr, br, ws
                       ) -> Tuple[jax.Array, jax.Array]:
-    """nl-layer chunk: returns (h_out [B,T,R], skips [B,T,S])."""
-    return _chunk_fwd_call(dils, interpret, h, cond, gc, wff, vc, wr,
-                           br, ws)
+    """nl-layer chunk: returns (h_out [B,T,R], skips [B,T,S]).
+
+    ``save_gates`` trades HBM for FLOPs in the backward: the forward
+    writes each layer's gate halves (ta|sb, bf16 ``[B,nl,T,2R]``) to
+    HBM and the backward skips the chunk-forward recompute's u matmuls
+    and transcendentals, replaying only the residual chain.  With
+    ``False`` (flash-attention-style) nothing but (h_out, skips)
+    leaves the kernel and the backward recomputes the chunk forward.
+    """
+    out = _chunk_fwd_call(dils, interpret, False, h, cond, gc, wff,
+                          vc, wr, br, ws)
+    return out[0], out[1]
 
 
-def _chunk_fwd_call(dils, interpret, h, cond, gc, wff, vc, wr, br, ws):
+def _chunk_fwd_call(dils, interpret, save_gates,
+                    h, cond, gc, wff, vc, wr, br, ws):
     B, T, R = h.shape
     d = cond.shape[-1]
     nl = len(dils)
     S = ws.shape[-1]
-    G = _group_of(B)
+    # save_gates runs G=1: the gall output window ([G,nl,T,2R],
+    # double-buffered by the pipeline) exceeds VMEM at G=2/T=7680.
+    # (A G=2 variant that kept gall in HBM and streamed it per layer
+    # with explicit make_async_copy DMAs was measured SLOWER at every
+    # batch — 41.8 vs 39.1 ms at B=32 — the pipeline's own windowed
+    # copies overlap across programs better; see docs/PERF.md.)
+    G = _group_of(B, 1 if save_gates else 2)
+    out_specs = [_group_spec(G, T, R), _group_spec(G, T, S)]
+    out_shape = [jax.ShapeDtypeStruct((B, T, R), h.dtype),
+                 jax.ShapeDtypeStruct((B, T, S), h.dtype)]
+    if save_gates:
+        out_specs.append(_group_spec(G, nl, T, 2 * R))
+        out_shape.append(jax.ShapeDtypeStruct((B, nl, T, 2 * R),
+                                              h.dtype))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, dils, R),
+        functools.partial(_fwd_kernel, dils, R, save_gates),
         grid=(B // G,),
         in_specs=[
             _group_spec(G, T, R),           # h
@@ -243,25 +292,26 @@ def _chunk_fwd_call(dils, interpret, h, cond, gc, wff, vc, wr, br, ws):
             _const_spec(nl, R),             # br
             _const_spec(nl, R, S),          # ws
         ],
-        out_specs=[_group_spec(G, T, R), _group_spec(G, T, S)],
-        out_shape=[jax.ShapeDtypeStruct((B, T, R), h.dtype),
-                   jax.ShapeDtypeStruct((B, T, S), h.dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(h, cond, gc, wff, vc, wr, br, ws)
-    return out[0], out[1]
+    return out
 
 
-def _chunk_vjp_fwd(dils, interpret, h, cond, gc, wff, vc, wr, br, ws):
-    out = _chunk_fwd_call(dils, interpret, h, cond, gc, wff, vc, wr,
-                          br, ws)
-    return out, (h, cond, gc, wff, vc, wr, br, ws)
+def _chunk_vjp_fwd(dils, interpret, save_gates,
+                   h, cond, gc, wff, vc, wr, br, ws):
+    out = _chunk_fwd_call(dils, interpret, save_gates, h, cond, gc,
+                          wff, vc, wr, br, ws)
+    gall = out[2] if save_gates else None
+    return tuple(out[:2]), (h, cond, gc, wff, vc, wr, br, ws, gall)
 
 
-def _chunk_vjp_bwd(dils, interpret, res, cots):
-    h, cond, gc, wff, vc, wr, br, ws = res
+def _chunk_vjp_bwd(dils, interpret, save_gates, res, cots):
+    h, cond, gc, wff, vc, wr, br, ws, gall = res
     dhout, dskips = cots
     B, T, R = h.shape
     d = cond.shape[-1]
@@ -269,21 +319,34 @@ def _chunk_vjp_bwd(dils, interpret, res, cots):
     S = ws.shape[-1]
     f32 = jnp.float32
     G = _group_of(B, 1)
+    in_specs = [
+        _group_spec(G, T, R),           # h
+        _group_spec(G, T, d),           # cond
+        _group_spec(G, nl, 2 * R),      # gc
+        _const_spec(nl, 2 * R, 2 * R),  # wff
+        _const_spec(nl, d, 2 * R),      # vc
+        _const_spec(nl, R, R),          # wr
+        _const_spec(nl, R),             # br
+        _const_spec(nl, R, S),          # ws
+        _group_spec(G, T, R),           # dhout
+        _group_spec(G, T, S),           # dskips
+    ]
+    args = [h, cond, gc, wff, vc, wr, br, ws, dhout, dskips]
+    scratch_shapes = [
+        # recomputed layer inputs, parked across the reverse sweep
+        # (nl<=10: ~10 MB at T=7680, R=64, G=1)
+        pltpu.VMEM((nl, G, T, R), h.dtype),
+    ]
+    if save_gates:
+        in_specs.append(_group_spec(G, nl, T, 2 * R))
+        args.append(gall)
+    else:
+        # gate halves recomputed in pass 1 (another ~20 MB scratch)
+        scratch_shapes.append(pltpu.VMEM((nl, G, T, 2 * R), h.dtype))
     dh, dcond, dgc, dwff, dvc, dwr, dbr, dws = pl.pallas_call(
-        functools.partial(_bwd_kernel, dils, R),
+        functools.partial(_bwd_kernel, dils, R, save_gates),
         grid=(B // G,),
-        in_specs=[
-            _group_spec(G, T, R),           # h
-            _group_spec(G, T, d),           # cond
-            _group_spec(G, nl, 2 * R),      # gc
-            _const_spec(nl, 2 * R, 2 * R),  # wff
-            _const_spec(nl, d, 2 * R),      # vc
-            _const_spec(nl, R, R),          # wr
-            _const_spec(nl, R),             # br
-            _const_spec(nl, R, S),          # ws
-            _group_spec(G, T, R),           # dhout
-            _group_spec(G, T, S),           # dskips
-        ],
+        in_specs=in_specs,
         out_specs=[
             _group_spec(G, T, R),           # dh
             _group_spec(G, T, d),           # dcond
@@ -304,17 +367,12 @@ def _chunk_vjp_bwd(dils, interpret, res, cots):
             jax.ShapeDtypeStruct((nl, R), f32),
             jax.ShapeDtypeStruct((nl, R, S), f32),
         ],
-        scratch_shapes=[
-            # recomputed layer inputs + gate halves, parked across the
-            # reverse sweep (nl<=10: ~20 MB + ~20 MB at T=7680, G=1)
-            pltpu.VMEM((nl, G, T, R), h.dtype),
-            pltpu.VMEM((nl, G, T, 2 * R), h.dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(h, cond, gc, wff, vc, wr, br, ws, dhout, dskips)
+    )(*args)
     return (dh, dcond, dgc.astype(gc.dtype), dwff.astype(wff.dtype),
             dvc.astype(vc.dtype), dwr.astype(wr.dtype),
             dbr.astype(br.dtype), dws.astype(ws.dtype))
@@ -332,9 +390,15 @@ def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
     (conv bias folded).  Returns skips ``[B,T,S]`` — same contract as
     the layer loop inside models/wavenet.apply_decoder, which remains
     the shadow reference (tests/test_kernels.py).
+
+    ``cfg.decoder_kernel == "pallas_sg"`` selects the save-gates
+    variant (gates to HBM in fwd, no u-recompute in bwd); ``"pallas"``
+    is the zero-activation-HBM recompute variant.  Perf tradeoff
+    measured in docs/PERF.md.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    save_gates = cfg.decoder_kernel == "pallas_sg"
     cdt = cfg.cdtype
     lay = params["layers"]
     wf = lay["wf"].astype(cdt)                        # [L, 2, R, 2R]
@@ -353,14 +417,15 @@ def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
 
     chunk = fused_stack_chunk
     if cfg.remat:
-        chunk = jax.checkpoint(fused_stack_chunk, static_argnums=(0, 1))
+        chunk = jax.checkpoint(fused_stack_chunk,
+                               static_argnums=(0, 1, 2))
 
     cond = cond.astype(cdt)
     skips = None
     for l0 in range(0, L, per):
         l1 = min(l0 + per, L)
-        h, s = chunk(tuple(dils[l0:l1]), interpret, h, cond,
-                     gct[:, l0:l1], wff[l0:l1], vc[l0:l1], wr[l0:l1],
-                     br[l0:l1], ws[l0:l1])
+        h, s = chunk(tuple(dils[l0:l1]), interpret, save_gates, h,
+                     cond, gct[:, l0:l1], wff[l0:l1], vc[l0:l1],
+                     wr[l0:l1], br[l0:l1], ws[l0:l1])
         skips = s if skips is None else skips + s
     return skips + jnp.sum(bs, axis=0).astype(cdt)

@@ -130,7 +130,7 @@ def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
     cond = cond.astype(cdt)
     gcond = global_cond(params, cfg, speaker)        # [L, B, 2R]
 
-    if cfg.decoder_kernel == "pallas":
+    if cfg.decoder_kernel in ("pallas", "pallas_sg"):
         from vqvae_tpu.kernels.wavenet_train_pallas import (
             decoder_stack_pallas,
         )
