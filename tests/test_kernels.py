@@ -118,16 +118,18 @@ def test_decode_pallas_sampling_valid():
 # ---- fused gated-residual TRAINING kernel (interpret mode on CPU) ----
 
 
-def test_train_stack_pallas_matches_xla_fwd_and_grads():
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
+def test_train_stack_pallas_matches_xla_fwd_and_grads(kernel):
     """decoder_kernel='pallas' (chunked fused stack + recomputing
-    custom-vjp) == the lax layer loop: identical loss and near-identical
-    gradients for EVERY parameter leaf."""
+    custom-vjp) / 'pallas_sg' (gates saved to HBM, no u-recompute) ==
+    the lax layer loop: identical loss and near-identical gradients
+    for EVERY parameter leaf."""
     import dataclasses
     from vqvae_tpu.audio.framing import frame_batch
     from vqvae_tpu.models import forward
 
     cfg_x = get_config("tiny").model     # L=10 -> one chunk
-    cfg_p = dataclasses.replace(cfg_x, decoder_kernel="pallas")
+    cfg_p = dataclasses.replace(cfg_x, decoder_kernel=kernel)
     params = init_model(jax.random.PRNGKey(0), cfg_x)
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 1025)), jnp.float32)
@@ -148,14 +150,15 @@ def test_train_stack_pallas_matches_xla_fwd_and_grads():
             rtol=1e-3, err_msg=f"grad mismatch at {path}")
 
 
-def test_train_stack_pallas_multi_chunk():
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
+def test_train_stack_pallas_multi_chunk(kernel):
     """A >MAX_CHUNK_LAYERS stack splits into chained chunk kernels and
     still matches the lax loop (exercises the inter-chunk h/skip/grad
     hand-off)."""
     import dataclasses
     cfg_x = get_config("tiny").model
     cfg_x = dataclasses.replace(cfg_x, n_loop=2, n_layer=8)  # L=16 -> 2
-    cfg_p = dataclasses.replace(cfg_x, decoder_kernel="pallas")
+    cfg_p = dataclasses.replace(cfg_x, decoder_kernel=kernel)
     params = init_model(jax.random.PRNGKey(5), cfg_x)
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 256), 0,
                              cfg_x.mu)
@@ -204,3 +207,61 @@ def test_train_stack_pallas_remat():
                     jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+# ---- fused strided-conv ENCODER kernel (interpret mode on CPU) ----
+
+
+def test_encoder_pallas_matches_xla_fwd_and_grads():
+    """encoder_kernel='pallas' (whole stack in one fused kernel) ==
+    the XLA layer loop: same z_e and near-identical gradients for every
+    encoder leaf (incl. the conv-weight pack/unpack adjoint)."""
+    import dataclasses
+    from vqvae_tpu.models.encoder import apply_encoder, init_encoder
+
+    cfg_x = get_config("tiny").model      # 6 layers, Ce=32, d=16
+    cfg_p = dataclasses.replace(cfg_x, encoder_kernel="pallas")
+    params = {"encoder": init_encoder(jax.random.PRNGKey(3), cfg_x)}
+    wav = jax.random.uniform(jax.random.PRNGKey(1), (4, 1024),
+                             minval=-0.9, maxval=0.9)
+
+    def out(cfg):
+        def f(p):
+            z = apply_encoder(p["encoder"], cfg, wav)
+            return jnp.sum(z * jnp.cos(z * 0.3)), z
+        return f
+
+    (v_x, z_x), g_x = jax.value_and_grad(out(cfg_x), has_aux=True)(params)
+    (v_p, z_p), g_p = jax.value_and_grad(out(cfg_p), has_aux=True)(params)
+    assert z_p.shape == z_x.shape and z_p.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-3)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_p)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3 * scale + 1e-8,
+            rtol=2e-2, err_msg=f"grad mismatch at {path}")
+
+
+def test_encoder_pallas_in_full_forward():
+    """The fused encoder composes with the full VQ-VAE forward/backward
+    (loss finite, grads flow to every encoder leaf)."""
+    import dataclasses
+    from vqvae_tpu.audio.framing import frame_batch
+    from vqvae_tpu.models import forward
+
+    cfg = dataclasses.replace(get_config("tiny").model,
+                              encoder_kernel="pallas")
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 1025)), jnp.float32)
+    batch = frame_batch(wav, jnp.asarray([0, 1]), cfg.mu)
+    loss, grads = jax.value_and_grad(
+        lambda p: forward(p, cfg, batch)[0])(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads["encoder"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+        assert float(jnp.max(jnp.abs(leaf))) > 0

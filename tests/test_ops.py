@@ -102,3 +102,39 @@ def test_manual_ce_matches_optax():
     np.testing.assert_allclose(np.asarray(jax.grad(manual)(logits)),
                                np.asarray(jax.grad(ref)(logits)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_strided_conv_matmul_matches_lax_conv():
+    """The space-to-depth + shifted-matmul strided conv == SAME
+    lax.conv_general_dilated, fwd and grads, across kernel/stride
+    combinations (incl. odd total padding and k < 2s)."""
+    from vqvae_tpu.ops.conv import conv1d_init, strided_conv_apply
+
+    def ref(params, x, s):
+        y = lax.conv_general_dilated(
+            x, params["w"], window_strides=(s,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        return y + params["b"]
+
+    for (k, s, C, Co, T) in ((4, 2, 1, 8, 32), (4, 2, 8, 16, 64),
+                             (5, 2, 4, 8, 32), (3, 3, 4, 8, 36),
+                             (2, 2, 4, 8, 32), (6, 2, 4, 8, 32)):
+        p = conv1d_init(jax.random.PRNGKey(k * 7 + s), C, Co, k)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, T, C))
+        got = strided_conv_apply(p, x, s)
+        want = ref(p, x, s)
+        assert got.shape == want.shape == (2, T // s, Co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        # gradients through both paths agree
+        g1 = jax.grad(lambda q: jnp.sum(
+            jnp.sin(strided_conv_apply(q, x, s))))(p)
+        g2 = jax.grad(lambda q: jnp.sum(jnp.sin(ref(q, x, s))))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+    # T % stride != 0 falls back to the lax path and still works
+    p = conv1d_init(jax.random.PRNGKey(0), 4, 8, 4)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 33, 4))
+    assert strided_conv_apply(p, x, 2).shape == (2, 17, 8)

@@ -29,7 +29,17 @@ def init_encoder(key, cfg: ModelConfig) -> Dict:
 
 def apply_encoder(params: Dict, cfg: ModelConfig, wav: jax.Array
                   ) -> jax.Array:
-    """``[B, T] float`` waveform -> z_e ``[B, T/hop, d]`` (float32)."""
+    """``[B, T] float`` waveform -> z_e ``[B, T/hop, d]`` (float32).
+
+    ``cfg.encoder_kernel == "pallas"`` runs the whole stack (strided
+    convs + ReLUs + latent projection) as ONE fused Pallas kernel per
+    batch group (kernels/encoder_pallas.py — the north star's encoder
+    kernel target); this XLA layer loop remains the shadow reference
+    (tests/test_kernels.py).
+    """
+    if cfg.encoder_kernel == "pallas":
+        from vqvae_tpu.kernels.encoder_pallas import encoder_pallas
+        return encoder_pallas(params, cfg, wav)
     x = wav[..., None].astype(cfg.cdtype)
     for layer in params["layers"]:
         x = strided_conv_apply(layer, x, cfg.enc_stride, cfg.cdtype)

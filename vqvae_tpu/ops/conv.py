@@ -10,8 +10,10 @@ The reference leans on cuDNN via ``chainer.functions.convolution_nd`` /
   MXU, and the shifts are free (pad+slice fuses into the surrounding
   computation).  This avoids cuDNN-style small-window conv kernels that
   map poorly to the systolic array.
-* **Strided encoder convs** use ``lax.conv_general_dilated`` (XLA lowers
-  stride-2 k=4 convs to MXU-shaped contractions on TPU).
+* **Strided encoder convs** fold time into channels (space-to-depth by
+  the stride) and run as shifted dense matmuls too — XLA's own conv
+  lowering leaves them at <1% MFU (measured, docs/PERF.md "encoder");
+  ``lax.conv_general_dilated`` remains the fallback for T % stride != 0.
 * **Upsampling** (latents -> audio rate) is ``lax.conv_transpose``.
 
 Layout is ``[B, T, C]`` (channels on the 128-lane minor dimension).
@@ -86,17 +88,62 @@ def causal_conv_apply(params: Dict[str, jax.Array], x: jax.Array,
 def strided_conv_apply(params: Dict[str, jax.Array], x: jax.Array,
                        stride: int, dtype=None) -> jax.Array:
     """Strided 'SAME' 1-D conv (encoder downsampling):
-    ``[B, T, C_in] -> [B, T//stride, C_out]``."""
+    ``[B, T, C_in] -> [B, T//stride, C_out]``.
+
+    TPU-first lowering (when ``T % stride == 0``): space-to-depth fold
+    of the time axis by ``stride`` into channels, then the conv is a
+    handful of *time-shifted dense matmuls* over the folded sequence —
+    the same trick the decoder's causal convs use.  XLA's own
+    ``conv_general_dilated`` lowering of this shape runs at <1% MFU on
+    v5e (the C_in=1 first layer pads to 128 lanes; measured 5.8 ms of
+    a 40 ms flagship step — docs/PERF.md "encoder"); the folded-matmul
+    form is bandwidth-bound.  Equality with the lax conv is pinned in
+    tests/test_ops.py.
+
+    Derivation: SAME with ``T % stride == 0`` pads ``k - s`` total,
+    ``(k - s)//2`` on the left, so ``y[n] = sum_j x[ns + j - pad] w[j]``.
+    Writing ``j - pad = qs + r`` (``0 <= r < s``) and folding
+    ``f[m] = x[ms : (m+1)s]`` (``[T/s, s*C]``), tap ``j`` reads row
+    block ``r`` of ``f[n + q]``: group taps by ``q`` into matrices
+    ``W_q [s*C, C_out]`` and ``y = sum_q shift(f, -q) @ W_q``.
+    """
     w = params["w"]
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
-    y = lax.conv_general_dilated(
-        x, w,
-        window_strides=(stride,),
-        padding="SAME",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-    )
+    B, T, C = x.shape
+    k, _, Co = w.shape
+    s = stride
+    if T % s != 0 or k < s:
+        y = lax.conv_general_dilated(
+            x, w,
+            window_strides=(s,),
+            padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if "b" in params:
+            y = y + params["b"].astype(y.dtype)
+        return y
+
+    pad = (k - s) // 2
+    f = x.reshape(B, T // s, s * C)
+    # group taps by which folded block they read
+    taps: Dict[int, list] = {}
+    for j in range(k):
+        q, r = divmod(j - pad, s)
+        taps.setdefault(q, []).append((r, j))
+    y = None
+    for q, rj in taps.items():
+        wq = jnp.zeros((s * C, Co), w.dtype)
+        for r, j in rj:
+            wq = wq.at[r * C:(r + 1) * C].set(w[j])
+        fq = f
+        if q > 0:    # read ahead: shift left, zero-fill the tail
+            fq = jnp.pad(f, ((0, 0), (0, q), (0, 0)))[:, q:, :]
+        elif q < 0:  # read behind: shift right, zero-fill the head
+            fq = jnp.pad(f, ((0, 0), (-q, 0), (0, 0)))[:, :f.shape[1], :]
+        t = fq @ wq
+        y = t if y is None else y + t
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y
