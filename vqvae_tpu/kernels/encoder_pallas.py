@@ -88,8 +88,8 @@ def _fwd_kernel(s: int, k: int, L: int, cdt,
                 x_ref, w0_ref, b0_ref, wr_ref, br_ref, wp_ref, bp_ref,
                 z_ref):
     qs = _tap_groups(k, s)
-    G, T = x_ref.shape
-    h = x_ref[...].astype(cdt)[..., None]            # [G, T, 1]
+    G, T, _ = x_ref.shape
+    h = x_ref[...].astype(cdt)                       # [G, T, 1]
     for i in range(L):
         C = h.shape[-1]
         f = h.reshape(G, h.shape[1] // s, s * C)
@@ -111,11 +111,11 @@ def _bwd_kernel(s: int, k: int, L: int, cdt,
                 dbp_ref, *hall):
     qs = _tap_groups(k, s)
     b = pl.program_id(0)
-    G, T = x_ref.shape
+    G, T, _ = x_ref.shape
 
     # pass 1: recompute the forward, parking every layer's post-ReLU
     # output (the next layer's input AND its own ReLU mask) in VMEM
-    h = x_ref[...].astype(cdt)[..., None]
+    h = x_ref[...].astype(cdt)
     for i in range(L):
         C = h.shape[-1]
         f = h.reshape(G, h.shape[1] // s, s * C)
@@ -154,7 +154,7 @@ def _bwd_kernel(s: int, k: int, L: int, cdt,
         else:
             dbr_ref[i - 1] += jnp.sum(dy.reshape(-1, dy.shape[-1]),
                                       axis=0)
-        hin = (x_ref[...].astype(cdt)[..., None] if i == 0
+        hin = (x_ref[...].astype(cdt) if i == 0
                else hall[i - 1][...])
         C = hin.shape[-1]
         Mi = hin.shape[1] // s
@@ -175,7 +175,7 @@ def _bwd_kernel(s: int, k: int, L: int, cdt,
                                ).reshape(G, Mi, s * C), q)
             df = t if df is None else df + t
         dh = df.reshape(G, Mi * s, C)
-    dx_ref[...] = dh[..., 0]
+    dx_ref[...] = dh
 
 
 def _grp(G: int, *shape):
@@ -214,7 +214,7 @@ def _enc_fwd_call(meta, interpret, x, w0, b0, wr, br, wp, bp):
         functools.partial(_fwd_kernel, s, k, L, cdt),
         grid=(B // G,),
         in_specs=[
-            _grp(G, T),                      # x
+            _grp(G, T, 1),                   # x [B,T,1]
             _cst(nq, s, Ce),                 # w0
             _cst(Ce,),                       # b0
             _cst(max(L - 1, 1), nq, s * Ce, Ce),  # wr
@@ -228,7 +228,7 @@ def _enc_fwd_call(meta, interpret, x, w0, b0, wr, br, wp, bp):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(x, w0, b0, wr, br, wp, bp)[0]
+    )(x[..., None], w0, b0, wr, br, wp, bp)[0]
 
 
 def _enc_vjp_fwd(meta, interpret, x, w0, b0, wr, br, wp, bp):
@@ -253,7 +253,7 @@ def _enc_vjp_bwd(meta, interpret, res, dz):
         functools.partial(_bwd_kernel, s, k, L, cdt),
         grid=(B // G,),
         in_specs=[
-            _grp(G, T),
+            _grp(G, T, 1),
             _cst(nq, s, Ce),
             _cst(Ce,),
             _cst(max(L - 1, 1), nq, s * Ce, Ce),
@@ -263,7 +263,7 @@ def _enc_vjp_bwd(meta, interpret, res, dz):
             _grp(G, T // s ** L, d),         # dz
         ],
         out_specs=[
-            _grp(G, T),                      # dx
+            _grp(G, T, 1),                   # dx
             _cst(nq, s, Ce),                 # dw0 (grid-accumulated)
             _cst(Ce,),
             _cst(max(L - 1, 1), nq, s * Ce, Ce),
@@ -272,7 +272,7 @@ def _enc_vjp_bwd(meta, interpret, res, dz):
             _cst(d,),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T), x.dtype),
+            jax.ShapeDtypeStruct((B, T, 1), x.dtype),
             jax.ShapeDtypeStruct((nq, s, Ce), f32),
             jax.ShapeDtypeStruct((Ce,), f32),
             jax.ShapeDtypeStruct((max(L - 1, 1), nq, s * Ce, Ce), f32),
@@ -285,9 +285,9 @@ def _enc_vjp_bwd(meta, interpret, res, dz):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(x, w0, b0, wr, br, wp, bp, dz)
+    )(x[..., None], w0, b0, wr, br, wp, bp, dz)
     dx, dw0, db0, dwr, dbr, dwp, dbp = out
-    return (dx, dw0.astype(w0.dtype), db0.astype(b0.dtype),
+    return (dx[..., 0], dw0.astype(w0.dtype), db0.astype(b0.dtype),
             dwr.astype(wr.dtype), dbr.astype(br.dtype),
             dwp.astype(wp.dtype), dbp.astype(bp.dtype))
 
