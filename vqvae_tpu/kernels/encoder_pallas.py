@@ -5,10 +5,13 @@ Why a kernel (measured, docs/PERF.md "encoder"): XLA runs the 6-layer
 stride-2 stack as 6 convs + 6 ReLUs + the 1x1 proj, each round-tripping
 its [B,T_i,C] activations through HBM, and the C_in=1 first layer pads
 to 128 lanes; the whole encoder is ~2% of the step's FLOPs but ~5% of
-its time. Here the ENTIRE encoder — all strided layers + ReLUs + the
-latent projection — is ONE kernel per batch group: the waveform block
-loads once, every intermediate lives in VMEM, and each layer is a
-handful of MXU matmuls.
+its time. Here the first (scalar-input) layer runs as a folded matmul
+at the XLA level — bandwidth-bound, and its 1/2-lane shapes inside a
+kernel made Mosaic's compile pathological (measured >40 min) — and the
+remaining uniform-width layers + ReLUs + the latent projection are ONE
+kernel per batch group: the layer-1 block loads once, every
+intermediate lives in VMEM, and each layer is a handful of MXU
+matmuls.
 
 Math (same folding as ops/conv.py::strided_conv_apply, equality pinned
 there against lax.conv_general_dilated): a SAME stride-s kernel-k conv
@@ -85,18 +88,16 @@ def _layer_fwd(qs, f, wq_of, bias):
 
 
 def _fwd_kernel(s: int, k: int, L: int, cdt,
-                x_ref, w0_ref, b0_ref, wr_ref, br_ref, wp_ref, bp_ref,
+                h_ref, wr_ref, br_ref, wp_ref, bp_ref,
                 z_ref):
     qs = _tap_groups(k, s)
-    G, T, _ = x_ref.shape
-    h = x_ref[...].astype(cdt)                       # [G, T, 1]
+    G = h_ref.shape[0]
+    h = h_ref[...].astype(cdt)                       # [G, M0, Ce]
     for i in range(L):
         C = h.shape[-1]
         f = h.reshape(G, h.shape[1] // s, s * C)
-        wq_of = ((lambda qi: w0_ref[qi].astype(cdt)) if i == 0 else
-                 (lambda qi: wr_ref[i - 1, qi].astype(cdt)))
-        bias = b0_ref[...] if i == 0 else br_ref[i - 1]
-        h = _layer_fwd(qs, f, wq_of, bias).astype(cdt)
+        wq_of = lambda qi: wr_ref[i, qi].astype(cdt)
+        h = _layer_fwd(qs, f, wq_of, br_ref[i]).astype(cdt)
     M = h.shape[1]
     z = (jnp.dot(h.reshape(G * M, -1), wp_ref[...].astype(cdt),
                  preferred_element_type=jnp.float32)
@@ -105,30 +106,26 @@ def _fwd_kernel(s: int, k: int, L: int, cdt,
 
 
 def _bwd_kernel(s: int, k: int, L: int, cdt,
-                x_ref, w0_ref, b0_ref, wr_ref, br_ref, wp_ref, bp_ref,
+                h_ref, wr_ref, br_ref, wp_ref, bp_ref,
                 dz_ref,
-                dx_ref, dw0_ref, db0_ref, dwr_ref, dbr_ref, dwp_ref,
+                dh0_ref, dwr_ref, dbr_ref, dwp_ref,
                 dbp_ref, *hall):
     qs = _tap_groups(k, s)
     b = pl.program_id(0)
-    G, T, _ = x_ref.shape
+    G = h_ref.shape[0]
 
     # pass 1: recompute the forward, parking every layer's post-ReLU
     # output (the next layer's input AND its own ReLU mask) in VMEM
-    h = x_ref[...].astype(cdt)
+    h = h_ref[...].astype(cdt)
     for i in range(L):
         C = h.shape[-1]
         f = h.reshape(G, h.shape[1] // s, s * C)
-        wq_of = ((lambda qi: w0_ref[qi].astype(cdt)) if i == 0 else
-                 (lambda qi: wr_ref[i - 1, qi].astype(cdt)))
-        bias = b0_ref[...] if i == 0 else br_ref[i - 1]
-        h = _layer_fwd(qs, f, wq_of, bias).astype(cdt)
+        wq_of = lambda qi: wr_ref[i, qi].astype(cdt)
+        h = _layer_fwd(qs, f, wq_of, br_ref[i]).astype(cdt)
         hall[i][...] = h
 
     @pl.when(b == 0)
     def _init():
-        dw0_ref[...] = jnp.zeros(dw0_ref.shape, jnp.float32)
-        db0_ref[...] = jnp.zeros(db0_ref.shape, jnp.float32)
         dwr_ref[...] = jnp.zeros(dwr_ref.shape, jnp.float32)
         dbr_ref[...] = jnp.zeros(dbr_ref.shape, jnp.float32)
         dwp_ref[...] = jnp.zeros(dwp_ref.shape, jnp.float32)
@@ -147,14 +144,11 @@ def _bwd_kernel(s: int, k: int, L: int, cdt,
                  preferred_element_type=jnp.float32).reshape(G, M, -1)
 
     for i in reversed(range(L)):
-        hout = hall[i][...]                          # [G, M_i, Ce]
-        dy = jnp.where(hout > 0, dh, 0.0)            # ReLU adjoint, f32
-        if i == 0:
-            db0_ref[...] += jnp.sum(dy.reshape(-1, dy.shape[-1]), axis=0)
-        else:
-            dbr_ref[i - 1] += jnp.sum(dy.reshape(-1, dy.shape[-1]),
-                                      axis=0)
-        hin = (x_ref[...].astype(cdt) if i == 0
+        hout = hall[i][...].astype(jnp.float32)      # [G, M_i, Ce]
+        # ReLU adjoint; compare in f32 (v5e Mosaic rejects bf16 cmpf)
+        dy = jnp.where(hout > 0, dh, 0.0)
+        dbr_ref[i] += jnp.sum(dy.reshape(-1, dy.shape[-1]), axis=0)
+        hin = (h_ref[...].astype(cdt) if i == 0
                else hall[i - 1][...])
         C = hin.shape[-1]
         Mi = hin.shape[1] // s
@@ -165,17 +159,14 @@ def _bwd_kernel(s: int, k: int, L: int, cdt,
             fq = _shift(f, -q).reshape(G * Mi, -1)
             dwq = jnp.dot(fq.T, dy_f,
                           preferred_element_type=jnp.float32)
-            wq = (w0_ref[qi] if i == 0 else wr_ref[i - 1, qi])
-            if i == 0:
-                dw0_ref[qi] += dwq
-            else:
-                dwr_ref[i - 1, qi] += dwq
+            wq = wr_ref[i, qi]
+            dwr_ref[i, qi] += dwq
             t = _shift(jnp.dot(dy_f, wq.astype(cdt).T,
                                preferred_element_type=jnp.float32
                                ).reshape(G, Mi, s * C), q)
             df = t if df is None else df + t
         dh = df.reshape(G, Mi * s, C)
-    dx_ref[...] = dh
+    dh0_ref[...] = dh.astype(dh0_ref.dtype)
 
 
 def _grp(G: int, *shape):
@@ -196,29 +187,27 @@ def _group_of(B: int, want: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _enc_stack(meta, interpret, x, w0, b0, wr, br, wp, bp):
-    """meta = (s, k, L, cdt_name); x [B,T] -> z [B, T/s**L, d] f32."""
-    return _enc_fwd_call(meta, interpret, x, w0, b0, wr, br, wp, bp)
+def _enc_stack(meta, interpret, h, wr, br, wp, bp):
+    """meta = (s, k, L, cdt_name); h [B,M0,Ce] (the first layer's
+    post-ReLU output) -> z [B, M0/s**L, d] f32."""
+    return _enc_fwd_call(meta, interpret, h, wr, br, wp, bp)
 
 
-def _enc_fwd_call(meta, interpret, x, w0, b0, wr, br, wp, bp):
+def _enc_fwd_call(meta, interpret, h, wr, br, wp, bp):
     s, k, L, cdt_name = meta
     cdt = jnp.dtype(cdt_name)
-    B, T = x.shape
-    Ce = w0.shape[-1]
+    B, M0, Ce = h.shape
     d = wp.shape[-1]
-    nq = w0.shape[0]
-    Mz = T // s ** L
+    nq = wr.shape[1]
+    Mz = M0 // s ** L
     G = _group_of(B, 8)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, s, k, L, cdt),
         grid=(B // G,),
         in_specs=[
-            _grp(G, T, 1),                   # x [B,T,1]
-            _cst(nq, s, Ce),                 # w0
-            _cst(Ce,),                       # b0
-            _cst(max(L - 1, 1), nq, s * Ce, Ce),  # wr
-            _cst(max(L - 1, 1), Ce),         # br
+            _grp(G, M0, Ce),                 # h
+            _cst(L, nq, s * Ce, Ce),         # wr
+            _cst(L, Ce),                     # br
             _cst(Ce, d),                     # wp
             _cst(d,),                        # bp
         ],
@@ -228,55 +217,48 @@ def _enc_fwd_call(meta, interpret, x, w0, b0, wr, br, wp, bp):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(x[..., None], w0, b0, wr, br, wp, bp)[0]
+    )(h, wr, br, wp, bp)[0]
 
 
-def _enc_vjp_fwd(meta, interpret, x, w0, b0, wr, br, wp, bp):
-    z = _enc_fwd_call(meta, interpret, x, w0, b0, wr, br, wp, bp)
-    return z, (x, w0, b0, wr, br, wp, bp)
+def _enc_vjp_fwd(meta, interpret, h, wr, br, wp, bp):
+    z = _enc_fwd_call(meta, interpret, h, wr, br, wp, bp)
+    return z, (h, wr, br, wp, bp)
 
 
 def _enc_vjp_bwd(meta, interpret, res, dz):
     s, k, L, cdt_name = meta
     cdt = jnp.dtype(cdt_name)
-    x, w0, b0, wr, br, wp, bp = res
-    B, T = x.shape
-    Ce = w0.shape[-1]
+    h, wr, br, wp, bp = res
+    B, M0, Ce = h.shape
     d = wp.shape[-1]
-    nq = w0.shape[0]
+    nq = wr.shape[1]
     G = _group_of(B, 4)
     f32 = jnp.float32
     # per-layer post-ReLU outputs parked across the reverse sweep
-    hall = [pltpu.VMEM((G, T // s ** (i + 1), Ce), cdt)
+    hall = [pltpu.VMEM((G, M0 // s ** (i + 1), Ce), cdt)
             for i in range(L)]
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, s, k, L, cdt),
         grid=(B // G,),
         in_specs=[
-            _grp(G, T, 1),
-            _cst(nq, s, Ce),
-            _cst(Ce,),
-            _cst(max(L - 1, 1), nq, s * Ce, Ce),
-            _cst(max(L - 1, 1), Ce),
+            _grp(G, M0, Ce),
+            _cst(L, nq, s * Ce, Ce),
+            _cst(L, Ce),
             _cst(Ce, d),
             _cst(d,),
-            _grp(G, T // s ** L, d),         # dz
+            _grp(G, M0 // s ** L, d),        # dz
         ],
         out_specs=[
-            _grp(G, T, 1),                   # dx
-            _cst(nq, s, Ce),                 # dw0 (grid-accumulated)
-            _cst(Ce,),
-            _cst(max(L - 1, 1), nq, s * Ce, Ce),
-            _cst(max(L - 1, 1), Ce),
+            _grp(G, M0, Ce),                 # dh0
+            _cst(L, nq, s * Ce, Ce),         # dwr (grid-accumulated)
+            _cst(L, Ce),
             _cst(Ce, d),
             _cst(d,),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, 1), x.dtype),
-            jax.ShapeDtypeStruct((nq, s, Ce), f32),
-            jax.ShapeDtypeStruct((Ce,), f32),
-            jax.ShapeDtypeStruct((max(L - 1, 1), nq, s * Ce, Ce), f32),
-            jax.ShapeDtypeStruct((max(L - 1, 1), Ce), f32),
+            jax.ShapeDtypeStruct((B, M0, Ce), h.dtype),
+            jax.ShapeDtypeStruct((L, nq, s * Ce, Ce), f32),
+            jax.ShapeDtypeStruct((L, Ce), f32),
             jax.ShapeDtypeStruct((Ce, d), f32),
             jax.ShapeDtypeStruct((d,), f32),
         ],
@@ -285,10 +267,9 @@ def _enc_vjp_bwd(meta, interpret, res, dz):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(x[..., None], w0, b0, wr, br, wp, bp, dz)
-    dx, dw0, db0, dwr, dbr, dwp, dbp = out
-    return (dx[..., 0], dw0.astype(w0.dtype), db0.astype(b0.dtype),
-            dwr.astype(wr.dtype), dbr.astype(br.dtype),
+    )(h, wr, br, wp, bp, dz)
+    dh0, dwr, dbr, dwp, dbp = out
+    return (dh0, dwr.astype(wr.dtype), dbr.astype(br.dtype),
             dwp.astype(wp.dtype), dbp.astype(bp.dtype))
 
 
@@ -298,22 +279,28 @@ _enc_stack.defvjp(_enc_vjp_fwd, _enc_vjp_bwd)
 def encoder_pallas(params: Dict, cfg, wav: jax.Array,
                    interpret: bool | None = None) -> jax.Array:
     """Drop-in for models/encoder.apply_encoder (``[B,T] -> z_e`` f32);
-    same param tree, whole stack in one fused kernel per batch group.
+    same param tree.  The scalar->Ce first layer runs as a folded
+    matmul at the XLA level (bandwidth-bound; its degenerate 1/2-lane
+    shapes inside the kernel sent Mosaic's compile time pathological —
+    measured >40 min vs seconds for this split), and the remaining
+    uniform-width layers + the latent projection run in ONE fused
+    kernel per batch group with every intermediate in VMEM.
     Requires a uniform layer width (cfg.enc_channels) and
     T % stride**enc_layers == 0 — true for every preset."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    from vqvae_tpu.ops.conv import strided_conv_apply
     s, k, L = cfg.enc_stride, cfg.enc_kernel, cfg.enc_layers
+    cdt = cfg.cdtype
     layers = params["layers"]
-    w0 = _pack_wq(layers[0]["w"], s)                  # [nq, s, Ce]
-    b0 = layers[0]["b"]
-    if L > 1:
-        wr = jnp.stack([_pack_wq(l["w"], s) for l in layers[1:]])
-        br = jnp.stack([l["b"] for l in layers[1:]])
-    else:
-        Ce = w0.shape[-1]
-        wr = jnp.zeros((1, w0.shape[0], s * Ce, Ce), w0.dtype)
-        br = jnp.zeros((1, Ce), w0.dtype)
-    meta = (s, k, L, cfg.compute_dtype)
-    return _enc_stack(meta, interpret, wav, w0, b0, wr, br,
+    h = jax.nn.relu(strided_conv_apply(layers[0], wav[..., None], s,
+                                       cdt))
+    if L == 1:
+        w = params["proj"]["w"].astype(cdt)
+        z = h @ w + params["proj"]["b"].astype(cdt)
+        return z.astype(jnp.float32)
+    wr = jnp.stack([_pack_wq(l["w"], s) for l in layers[1:]])
+    br = jnp.stack([l["b"] for l in layers[1:]])
+    meta = (s, k, L - 1, cfg.compute_dtype)
+    return _enc_stack(meta, interpret, h, wr, br,
                       params["proj"]["w"], params["proj"]["b"])
