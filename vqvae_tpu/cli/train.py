@@ -16,6 +16,10 @@ from vqvae_tpu.train import train
 
 
 def main() -> None:
+    # multi-host pods: wire this process into the global mesh before
+    # any jax.devices() call (no-op single-host — parallel/distributed)
+    from vqvae_tpu.parallel.distributed import initialize_from_env
+    initialize_from_env()
     p = argparse.ArgumentParser(description="Train a VQ-VAE (TPU-native)")
     add_config_args(p)
     p.add_argument("--dataset", default="vctk", choices=["vctk", "sine"])

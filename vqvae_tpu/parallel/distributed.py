@@ -1,0 +1,84 @@
+"""Multi-host (multi-process) scaffolding — the SPMD half of
+SURVEY.md §2.3 "elastic / multi-node" that can be built and tested
+without multi-host hardware (ROADMAP item 5 remainder).
+
+JAX's multi-controller model: every host runs the SAME program,
+`jax.distributed.initialize()` wires them into one logical device
+mesh, and each host feeds only the batch rows that live on its local
+devices. Three pieces:
+
+* ``initialize_from_env()`` — calls ``jax.distributed.initialize``
+  when a coordinator is configured (JAX_COORDINATOR_ADDRESS, or TPU
+  pod metadata the plugin resolves itself); a safe no-op on this
+  single-host box.
+* ``local_batch_slice(B)`` — the contiguous row range of the global
+  batch this process owns. The batch axis shards over
+  ('slice','data') majormost (parallel/mesh.batch_sharding), and
+  make_mesh lays processes out so device order == process order, so
+  equal contiguous slices per process are correct.
+* ``put_global_batch(sharding, *host_arrays)`` — on one host this is
+  ``jax.device_put``; under multi-controller each host passes ONLY its
+  local rows and the function assembles the global array with
+  ``jax.make_array_from_process_local_data``.
+
+The train loop composes them: ``loader`` yields the full global batch
+on every host (the (seed, index) stream is host-independent), each
+host device_puts its ``local_batch_slice`` — no cross-host data
+traffic, bit-identical to the single-host stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def initialize_from_env() -> bool:
+    """Initialise multi-controller JAX if configured; returns whether
+    a multi-process runtime is active (safe no-op single-host)."""
+    if jax.process_count() > 1:
+        return True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return jax.process_count() > 1
+    return False
+
+
+def local_batch_slice(global_batch: int,
+                      process_index: int | None = None,
+                      process_count: int | None = None) -> slice:
+    """Rows of the global batch owned by this process (contiguous:
+    the batch axis is sharded over the majormost mesh axes, and
+    make_mesh orders devices process-major)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch % pc:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{pc} processes")
+    per = global_batch // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def put_global_batch(sharding, *host_arrays):
+    """Device-put a batch under ``sharding``.
+
+    Single-process: plain ``jax.device_put`` of the full arrays.
+    Multi-process: each host passes only its ``local_batch_slice``
+    rows; the global array is assembled without cross-host copies.
+    """
+    if jax.process_count() == 1:
+        out = tuple(jax.device_put(a, sharding) for a in host_arrays)
+    else:
+        out = tuple(
+            jax.make_array_from_process_local_data(
+                sharding, np.asarray(a))
+            for a in host_arrays)
+    return out if len(out) > 1 else out[0]

@@ -55,6 +55,9 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         start = int(jax.device_get(state.step))
 
     from vqvae_tpu.audio.grain_loader import make_loader
+    from vqvae_tpu.parallel.distributed import (
+        local_batch_slice, put_global_batch,
+    )
     from vqvae_tpu.train.step import make_eval_step
     # deterministic, resumable stream: batch i is a pure function of
     # (seed, i); resuming at step N replays exactly what a straight run
@@ -67,6 +70,10 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     logger = MetricsLogger(out_dir,
                            tensorboard=cfg.train.tensorboard)
     bshard = batch_sharding(mesh)
+    # multi-host: every host sees the same (seed, index) stream and
+    # device-puts only its own rows (parallel/distributed.py);
+    # single-host this is the identity slice + a plain device_put
+    hsl = local_batch_slice(cfg.train.batch_size)
 
     eval_fn = None
     if valid_dataset is not None and cfg.train.eval_every > 0:
@@ -78,9 +85,10 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         for _ in range(cfg.train.eval_batches):
             pairs = [valid_dataset.sample(rng)
                      for _ in range(cfg.train.batch_size)]
-            wav = jax.device_put(np.stack([p[0] for p in pairs]), bshard)
-            spk = jax.device_put(
-                np.asarray([p[1] for p in pairs], np.int32), bshard)
+            wav, spk = put_global_batch(
+                bshard,
+                np.stack([p[0] for p in pairs])[hsl],
+                np.asarray([p[1] for p in pairs], np.int32)[hsl])
             m = jax.device_get(eval_fn(params, wav, spk))
             acc = m if acc is None else \
                 {k: acc[k] + m[k] for k in acc}
@@ -94,8 +102,7 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
             if prof and step == start + 10:
                 jax.profiler.start_trace(os.path.join(out_dir, "profile"))
             wav, spk = next(loader)
-            wav = jax.device_put(wav, bshard)
-            spk = jax.device_put(spk, bshard)
+            wav, spk = put_global_batch(bshard, wav[hsl], spk[hsl])
             state, metrics = step_fn(state, wav, spk)
             if prof and step == start + 10 + prof - 1:
                 jax.device_get(metrics["loss"])
