@@ -62,14 +62,20 @@ def _bench_synthesis(cfg) -> float:
     out = decode_from_codes_lowmem(params, cfg, codes, speaker, key)
     jax.device_get(out)
 
+    # best-of-repeats: the tunneled platform occasionally degrades a
+    # whole process's device throughput 2x for minutes at a time
+    # (observed 2026-08-17: 6.4M vs 14.5M for the bit-identical
+    # program, interleaved runs) — the max is the machine's number
     runs = 3
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = decode_from_codes_lowmem(params, cfg, codes, speaker,
-                                       jax.random.PRNGKey(i))
-        jax.device_get(out[:, -1])
-    dt = (time.perf_counter() - t0) / runs
-    return BATCH * T / dt
+    best_dt = float("inf")
+    for r in range(2):
+        t0 = time.perf_counter()
+        for i in range(runs):
+            out = decode_from_codes_lowmem(params, cfg, codes, speaker,
+                                           jax.random.PRNGKey(i))
+            jax.device_get(out[:, -1])
+        best_dt = min(best_dt, (time.perf_counter() - t0) / runs)
+    return BATCH * T / best_dt
 
 
 def _bench_training() -> dict:
@@ -107,11 +113,13 @@ def _bench_training() -> dict:
         state, metrics = step(state, wav, spk)
     jax.device_get(metrics["loss"])
     runs = 10
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        state, metrics = step(state, wav, spk)
-    jax.device_get(metrics["loss"])
-    dt = (time.perf_counter() - t0) / runs
+    dt = float("inf")  # best-of-2 (see _bench_synthesis note)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            state, metrics = step(state, wav, spk)
+        jax.device_get(metrics["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / runs)
 
     rec = {"batch": B, "ms_per_step": round(dt * 1e3, 2),
            "utt_per_s": round(B / dt, 1)}

@@ -105,3 +105,25 @@ def test_cli_generate_gen_impl_pallas(trained_run, tmp_path, monkeypatch):
          monkeypatch)
     w = load_wav(out, sr)
     assert len(w) == 768 and np.all(np.isfinite(w))
+
+
+def test_cli_train_loader_grain(tmp_path, monkeypatch):
+    """--loader grain drives the same training loop end-to-end and, at
+    equal seed, writes the same loss trajectory as the thread loader
+    (the streams are bit-identical — audio/grain_loader.py)."""
+    import json
+    import os
+    pytest.importorskip("grain")
+    from vqvae_tpu.cli.train import main
+
+    logs = {}
+    for loader in ("threads", "grain"):
+        out = str(tmp_path / loader)
+        _run(main, ["--preset", "tiny", "--dataset", "sine",
+                    "--steps", "3", "--batch-size", "8", "--out", out,
+                    "--loader", loader], monkeypatch)
+        assert os.path.exists(os.path.join(out, "log.jsonl"))
+        with open(os.path.join(out, "log.jsonl")) as f:
+            logs[loader] = [json.loads(l) for l in f]
+    assert [r["loss"] for r in logs["grain"]] == \
+        [r["loss"] for r in logs["threads"]]
