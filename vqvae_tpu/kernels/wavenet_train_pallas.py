@@ -12,10 +12,11 @@ Design (v2 — the per-layer variant measured slower than XLA at B<=16
 because every layer re-read cond and paid 128-lane padding on [T,64]
 blocks):
 
-* ONE kernel runs a *chunk* of up to 15 layers for one batch element
-  (grid over B, layers statically unrolled so every dilated shift is a
-  static slice).  h and cond are read once per chunk; the only fwd
-  outputs are the chunk's skip sum [T,S] and the chunk-boundary h.
+* ONE kernel runs a *chunk* of up to MAX_CHUNK_LAYERS layers for one
+  batch group (grid over B, forward groups 2 elements/program, layers
+  statically unrolled so every dilated shift is a static slice).  h
+  and cond are read once per chunk; the only fwd outputs are the
+  chunk's skip sum [T,S] and the chunk-boundary h.
 * The backward kernel RECOMPUTES the chunk forward, parking each
   layer's input in VMEM scratch (flash-attention-style), then walks the
   layers in reverse producing dh, dcond, and — accumulated across the
@@ -23,9 +24,9 @@ blocks):
   between fwd and bwd ever touches HBM.
 * The skip projection (z @ ws) runs in-kernel so dskips is consumed
   directly; per-layer biases are summed once at the XLA level.
-* Chunking (<=15 layers) keeps the scratch + block VMEM budget under
-  ~80 MB for the flagship T=7680; chunks chain at the XLA level and
-  compose with jax.checkpoint.
+* Chunking keeps the scratch + block VMEM budget under ~80 MB for the
+  flagship T=7680; chunks chain at the XLA level and compose with
+  jax.checkpoint.
 
 save_gates variant ("pallas_sg", measured study in docs/PERF.md): the
 forward also writes each layer's gate halves (ta|sb, bf16
