@@ -127,3 +127,29 @@ def test_cli_train_loader_grain(tmp_path, monkeypatch):
             logs[loader] = [json.loads(l) for l in f]
     assert [r["loss"] for r in logs["grain"]] == \
         [r["loss"] for r in logs["threads"]]
+
+
+def test_cli_stream_matches_decode(trained_run, tmp_path, monkeypatch):
+    """vqvae-stream (chunked, constant-memory) produces the SAME wav as
+    vqvae-decode for the same codes/seed — the streaming-exactness
+    contract surfaced at the CLI."""
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 128, 12).astype(np.int32)
+    cpath = str(tmp_path / "c.npy")
+    np.save(cpath, codes)
+
+    one = str(tmp_path / "one.wav")
+    from vqvae_tpu.cli.decode import main as dec
+    _run(dec, ["--preset", "tiny", "-i", cpath, "-o", one,
+               "-m", trained_run, "-s", "1", "--seed", "5"],
+         monkeypatch)
+
+    chunked = str(tmp_path / "chunked.wav")
+    from vqvae_tpu.cli.stream import main as stream
+    _run(stream, ["--preset", "tiny", "-i", cpath, "-o", chunked,
+                  "-m", trained_run, "-s", "1", "--seed", "5",
+                  "--chunk-frames", "5"], monkeypatch)
+
+    sr = 16000
+    a, b = load_wav(one, sr), load_wav(chunked, sr)
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,87 @@
+"""Streaming-serving CLI: decode VQ codes to wav chunk-by-chunk with
+constant device memory, reporting per-chunk latency and the realtime
+factor — the serving-shaped front end for ``infer/streaming.py``
+(reference analogue: none — generate.py is one-shot; SURVEY.md §5.7
+long-audio row names O(1)-state streaming as the mechanism this
+framework keeps TPU-resident).
+
+Input is either code ids (.npy, like vqvae-decode) or a wav (encoded
+first, like vqvae-generate). Output audio is bit-identical to the
+one-shot engines for the same seed — greedy AND sampled (the per-step
+``fold_in(key, t)`` contract, tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_tpu.audio.wav_io import load_wav, save_wav
+from vqvae_tpu.cli.common import add_config_args, load_params, \
+    resolve_config
+from vqvae_tpu.infer.streaming import StreamingSynthesizer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(
+        description="Streaming decode: codes/wav -> wav in chunks, "
+                    "constant device memory")
+    add_config_args(p)
+    p.add_argument("-i", "--input", required=True,
+                   help="codes .npy (int ids) or input .wav")
+    p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-s", "--speaker", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--chunk-frames", type=int, default=16,
+                   help="code frames per push (chunk latency = "
+                        "frames*hop samples)")
+    args = p.parse_args()
+
+    cfg = resolve_config(args)
+    params = load_params(args.model, cfg)
+    m = cfg.model
+
+    if args.input.endswith(".npy"):
+        codes = jnp.asarray(np.load(args.input), jnp.int32)[None]
+    else:
+        from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+        from vqvae_tpu.infer.fastgen import encode_to_codes
+        wav = load_wav(args.input, cfg.data.sr)
+        T = len(wav) - (len(wav) % m.hop)
+        x = jnp.asarray(wav[:T])[None]
+        x = mu_law_decode(mu_law_encode(x, m.mu, m.mulaw_mode), m.mu,
+                          mode=m.mulaw_mode)
+        codes = encode_to_codes(params, m, x)
+
+    syn = StreamingSynthesizer(params, m, jnp.asarray([args.speaker]),
+                               jax.random.PRNGKey(args.seed),
+                               args.temperature, args.greedy)
+    sr = cfg.data.sr
+    pieces = []
+    n_frames = codes.shape[1]
+    C = max(1, args.chunk_frames)
+    for i, lo in enumerate(range(0, n_frames, C)):
+        t0 = time.perf_counter()
+        piece = np.asarray(
+            jax.device_get(syn.push(codes[:, lo:lo + C])))[0]
+        dt = time.perf_counter() - t0
+        pieces.append(piece)
+        rt = len(piece) / sr / dt if dt > 0 else float("inf")
+        print(f"chunk {i}: {len(piece)} samples in {dt * 1e3:.1f} ms "
+              f"({rt:.1f}x realtime)", flush=True)
+    pieces.append(np.asarray(jax.device_get(syn.flush()))[0])
+    out = np.concatenate(pieces)
+    save_wav(args.output, out, sr)
+    print(f"wrote {args.output}: {len(out)} samples "
+          f"({len(out) / sr:.2f} s) from {n_frames} code frames")
+
+
+if __name__ == "__main__":
+    main()
