@@ -78,7 +78,8 @@ def _bench_synthesis(cfg) -> float:
     return BATCH * T / best_dt
 
 
-def _bench_training() -> dict:
+def _bench_training(B: int | None = None,
+                    decoder_kernel: str | None = None) -> dict:
     """Flagship (vctk-multi) train-step throughput and MFU on one chip."""
     import dataclasses
 
@@ -86,9 +87,13 @@ def _bench_training() -> dict:
     from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
     from vqvae_tpu.train import create_train_state, make_train_step
 
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
+    if B is None:
+        B = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
     cfg = get_config("vctk-multi")
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=B))
+    if decoder_kernel is not None:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, decoder_kernel=decoder_kernel))
     mesh = make_mesh(devices=jax.devices()[:1])
     jit_for, shardings_of = make_train_step(cfg, mesh)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
@@ -183,6 +188,14 @@ def main() -> None:
             rec["training"] = _bench_training()
         except Exception as exc:  # noqa: BLE001
             rec["training"] = {"error": repr(exc)}
+        # the best measured training configuration (docs/PERF.md):
+        # B=64 with the save-gates backward
+        try:
+            rec["training_best"] = _bench_training(
+                B=64, decoder_kernel="pallas_sg")
+            rec["training_best"]["decoder_kernel"] = "pallas_sg"
+        except Exception as exc:  # noqa: BLE001
+            rec["training_best"] = {"error": repr(exc)}
     print(json.dumps(rec))
 
 
