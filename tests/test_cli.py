@@ -153,3 +153,20 @@ def test_cli_stream_matches_decode(trained_run, tmp_path, monkeypatch):
     sr = 16000
     a, b = load_wav(one, sr), load_wav(chunked, sr)
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_config_autoload(trained_run, tmp_path, monkeypatch):
+    """Decode-side CLIs reload the training run's recorded config.json
+    when --preset is omitted — no preset mismatch possible."""
+    import os
+    assert os.path.exists(os.path.join(trained_run, "config.json"))
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 128, 8).astype(np.int32)
+    cpath = str(tmp_path / "c.npy")
+    np.save(cpath, codes)
+    out = str(tmp_path / "auto.wav")
+    from vqvae_tpu.cli.decode import main as dec
+    _run(dec, ["-i", cpath, "-o", out, "-m", trained_run, "--greedy"],
+         monkeypatch)
+    w = load_wav(out, 16000)
+    assert len(w) == 8 * 64 and np.all(np.isfinite(w))

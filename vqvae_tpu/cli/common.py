@@ -15,13 +15,27 @@ from vqvae_tpu.train.state import create_train_state
 
 
 def add_config_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--preset", default="vctk-multi",
+    p.add_argument("--preset", default=None,
                    help="config preset (tiny/vctk-single/vctk-multi/"
-                        "fastgen/stretch)")
+                        "fastgen/stretch); when omitted, decode-side "
+                        "CLIs reload the config recorded by the "
+                        "training run (-m dir/config.json)")
 
 
 def resolve_config(args) -> Config:
-    return get_config(args.preset)
+    """--preset if given; else the training run's recorded config.json
+    (when the CLI has a -m/--model run dir); else the flagship."""
+    if args.preset is not None:
+        return get_config(args.preset)
+    model = getattr(args, "model", None)
+    if model and os.path.isdir(model):
+        from vqvae_tpu.configs import load_config
+        cfg = load_config(model)
+        if cfg is not None:
+            print(f"config: loaded {os.path.join(model, 'config.json')}"
+                  f" (preset '{cfg.name}')")
+            return cfg
+    return get_config("vctk-multi")
 
 
 def checkpoint_dir(model_path: str) -> str:

@@ -5,4 +5,6 @@ from vqvae_tpu.configs.presets import (  # noqa: F401
     TrainConfig,
     PRESETS,
     get_config,
+    load_config,
+    save_config,
 )

@@ -12,6 +12,8 @@ Named presets correspond to BASELINE.json ``configs[]``:
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -223,3 +225,45 @@ def get_config(name: str = "default", **overrides) -> Config:
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg
+
+
+# --- config persistence (run-dir config.json) ---------------------------
+# The reference couples every entry point to one opt.py; here the
+# training run records its resolved config so the decode-side CLIs can
+# reload it and never mismatch presets (SURVEY.md §2.1 opt.py row).
+
+
+def config_to_json(cfg: Config) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def _from_dict(cls, d: dict):
+    # forward-compatible: ignore keys a newer/older build doesn't know
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def config_from_json(text: str) -> Config:
+    d = json.loads(text)
+    return Config(
+        data=_from_dict(DataConfig, d.get("data", {})),
+        model=_from_dict(ModelConfig, d.get("model", {})),
+        train=_from_dict(TrainConfig, d.get("train", {})),
+        name=d.get("name", "default"),
+    )
+
+
+def save_config(cfg: Config, out_dir: str) -> str:
+    path = os.path.join(out_dir, "config.json")
+    with open(path, "w") as f:
+        f.write(config_to_json(cfg))
+    return path
+
+
+def load_config(run_dir: str) -> Config | None:
+    """The config recorded by a training run, or None."""
+    path = os.path.join(run_dir, "config.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return config_from_json(f.read())

@@ -41,6 +41,12 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         f"global batch {cfg.train.batch_size} must divide the "
         f"batch-sharding axes ({n_data} devices)")
     ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(out_dir, exist_ok=True)
+    # record the resolved config so decode-side CLIs reload it instead
+    # of requiring a matching --preset (configs/presets.save_config)
+    if jax.process_index() == 0:
+        from vqvae_tpu.configs import save_config
+        save_config(cfg, out_dir)
 
     jit_step_for, state_shardings = make_train_step(cfg, mesh, impl)
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
