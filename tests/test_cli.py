@@ -170,3 +170,19 @@ def test_cli_config_autoload(trained_run, tmp_path, monkeypatch):
          monkeypatch)
     w = load_wav(out, 16000)
     assert len(w) == 8 * 64 and np.all(np.isfinite(w))
+
+
+def test_cli_stream_wav_input(trained_run, tmp_path, monkeypatch):
+    """vqvae-stream also accepts a wav (encode-then-stream), mirroring
+    vqvae-generate's front half."""
+    sr = 16000
+    t = np.arange(800) / sr
+    wav_in = str(tmp_path / "in.wav")
+    save_wav(wav_in, (0.5 * np.sin(2 * np.pi * 330 * t)
+                      ).astype(np.float32), sr)
+    out = str(tmp_path / "sw.wav")
+    from vqvae_tpu.cli.stream import main as stream
+    _run(stream, ["-i", wav_in, "-o", out, "-m", trained_run,
+                  "--chunk-frames", "4", "--greedy"], monkeypatch)
+    w = load_wav(out, sr)
+    assert len(w) == 768 and np.all(np.isfinite(w))

@@ -64,14 +64,16 @@ def test_train_step_runs_and_loss_drops():
     assert int(jax.device_get(state.step)) == 30
 
 
-@pytest.mark.parametrize("ema,restart", [(False, 0.0), (True, 0.0),
-                                          (True, 1e-3), (False, 1e-3)])
-def test_dp_matches_single_device(ema, restart):
+@pytest.mark.parametrize("ema,restart,mult",
+                         [(False, 0.0, 1.0), (True, 0.0, 1.0),
+                          (True, 1e-3, 1.0), (False, 1e-3, 1.0),
+                          (False, 1e-3, 20.0)])
+def test_dp_matches_single_device(ema, restart, mult):
     """Same data, same init: 8-way DP must produce the same update as
     one device (XLA psum == serial sum), to float tolerance — including
-    the EMA codebook path (per-shard count/sum psum'd by XLA) and the
-    dead-code restart."""
-    cfg = _cfg(batch_size=8)
+    the EMA codebook path (per-shard count/sum psum'd by XLA), the
+    dead-code restart, and the codebook-LR-mult masked optimizer."""
+    cfg = _cfg(batch_size=8, codebook_lr_mult=mult)
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, ema=ema, code_restart_threshold=restart))
     batches = _fixed_batches(cfg, 3)
