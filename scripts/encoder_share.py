@@ -57,7 +57,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from vqvae_tpu.configs import get_config
-    from vqvae_tpu.models import init_model
     from vqvae_tpu.models.encoder import apply_encoder
     from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
     from vqvae_tpu.train import create_train_state, make_train_step
