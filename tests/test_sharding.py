@@ -4,6 +4,8 @@ produces the same numbers as pure replication."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import numpy as np
 from jax.sharding import PartitionSpec as P
@@ -110,14 +112,16 @@ def test_multi_slice_mesh_matches_single_device():
                                rtol=2e-5, atol=2e-6)
 
 
-def test_pallas_decoder_dp_and_tp():
-    """The fused Pallas training stack composes with pjit sharding:
-    8-way DP matches 1 device, and the 4x2 DP+TP mesh matches pure DP
-    (jit partitions the kernel's batch grid over 'data' and gathers the
-    model-sharded weights around the custom call)."""
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
+def test_pallas_decoder_dp_and_tp(kernel):
+    """The fused Pallas training stacks (recompute AND save-gates
+    backward) compose with pjit sharding: 8-way DP matches 1 device,
+    and the 4x2 DP+TP mesh matches pure DP (jit partitions the
+    kernel's batch grid over 'data' and gathers the model-sharded
+    weights around the custom call)."""
     cfg = _cfg()
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, decoder_kernel="pallas"))
+        cfg.model, decoder_kernel=kernel))
     wav, spk = _one_batch(cfg)
     losses = {}
     for name, mesh in (("1dev", make_mesh(devices=jax.devices()[:1])),
