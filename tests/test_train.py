@@ -273,3 +273,20 @@ def test_codebook_lr_mult_scales_only_codebook_update():
         else:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert saw_codebook
+
+
+def test_eval_fires_on_its_own_schedule(tmp_path):
+    """eval_every independent of log_every: validation rows appear even
+    when the two schedules never coincide (regression: eval used to be
+    gated on log steps)."""
+    import json
+    from vqvae_tpu.audio.datasets import SineDataset
+
+    cfg = _cfg(batch_size=8, num_steps=6, eval_every=3, eval_batches=1,
+               log_every=100, checkpoint_every=100)
+    out = str(tmp_path)
+    train(cfg, SineDataset(cfg.data), out_dir=out,
+          valid_dataset=SineDataset(cfg.data, f0=137.0))
+    rows = [json.loads(l) for l in open(os.path.join(out, "log.jsonl"))]
+    eval_steps = [r["iteration"] for r in rows if "val_loss1" in r]
+    assert eval_steps == [3, 6], rows

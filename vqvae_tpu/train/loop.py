@@ -114,10 +114,15 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
                 jax.device_get(metrics["loss"])
                 jax.profiler.stop_trace()
                 prof = 0
-            if (step + 1) % cfg.train.log_every == 0 or step == start:
+            do_log = ((step + 1) % cfg.train.log_every == 0
+                      or step == start)
+            # eval fires on ITS schedule (and forces a log row), not
+            # only when it happens to coincide with a log step
+            do_eval = (eval_fn is not None
+                       and (step + 1) % cfg.train.eval_every == 0)
+            if do_log or do_eval:
                 rec = dict(jax.device_get(metrics))
-                if eval_fn is not None and \
-                        (step + 1) % cfg.train.eval_every == 0:
+                if do_eval:
                     rec.update(run_eval(state.params))
                 logger.log(step + 1, rec, echo)
             if (step + 1) % cfg.train.checkpoint_every == 0:
