@@ -25,7 +25,7 @@ class MetricsLogger:
         self.path = os.path.join(out_dir, "log.jsonl")
         self._f = open(self.path, "a")
         self.print_keys = list(print_keys)
-        self._header_printed = False
+        self._header_printed: list | None = None  # last printed column set
         self._t_last = time.time()
         self._step_last = None
         self._tb = None
@@ -63,9 +63,11 @@ class MetricsLogger:
         keys = ["iteration"] + [k for k in self.print_keys if k in rec]
         if "steps_per_sec" in rec:
             keys.append("steps_per_sec")
-        if not self._header_printed:
+        # reprint the header whenever the column set changes (eval
+        # rows add val_* columns on their own schedule)
+        if self._header_printed != keys:
             print("  ".join(f"{k:>14s}" for k in keys))
-            self._header_printed = True
+            self._header_printed = keys
         cells = []
         for k in keys:
             v = rec[k]
