@@ -185,14 +185,15 @@ def test_train_stack_pallas_multi_chunk(kernel):
             rtol=1e-3, err_msg=f"grad mismatch at {path}")
 
 
-def test_train_stack_pallas_remat():
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
+def test_train_stack_pallas_remat(kernel):
     """cfg.remat wraps the chunk kernels in jax.checkpoint without
     changing values."""
     import dataclasses
     from vqvae_tpu.audio.framing import frame_batch
     from vqvae_tpu.models import forward
     cfg_p = dataclasses.replace(get_config("tiny").model,
-                                decoder_kernel="pallas")
+                                decoder_kernel=kernel)
     cfg_r = dataclasses.replace(cfg_p, remat=True)
     params = init_model(jax.random.PRNGKey(0), cfg_p)
     rng = np.random.default_rng(1)
