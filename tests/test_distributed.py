@@ -4,6 +4,9 @@ single-host equivalence — testable without multi-host hardware
 (process_index, process_count) plus a jax.device_put that must reduce
 to the identity path on one host)."""
 
+import json
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -50,3 +53,66 @@ def test_put_global_batch_matches_device_put():
 def test_initialize_from_env_noop_single_host():
     assert initialize_from_env() is False
     assert jax.process_count() == 1
+
+
+def _run_worker(env, timeout=600):
+    import subprocess
+    import sys
+
+    base = os.environ.copy()
+    base.update(env)
+    base["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    proc = subprocess.run(
+        [sys.executable, worker], env=base, timeout=timeout,
+        capture_output=True, text=True)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise AssertionError((proc.stdout, proc.stderr))
+
+
+def test_two_process_localhost_matches_single():
+    """The real multi-controller path (SURVEY.md §2.3 elastic row):
+    two CPU processes x 4 virtual devices wired into ONE 8-device mesh
+    via jax.distributed.initialize over localhost, each host feeding
+    only its local_batch_slice rows through the
+    make_array_from_process_local_data branch of put_global_batch.
+    Two train steps must match a single-process 8-device run."""
+    import socket
+    import subprocess
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    steps = {"VQVAE_WORKER_STEPS": "2",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    # single-process reference: same 8 devices in one process
+    ref = _run_worker(dict(
+        steps, XLA_FLAGS="--xla_force_host_platform_device_count=8"))
+    assert ref["process_count"] == 1 and ref["step"] == 2
+
+    def spawn(pid):
+        return _run_worker(dict(
+            steps,
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid)))
+
+    with ThreadPoolExecutor(2) as ex:
+        r0, r1 = list(ex.map(spawn, [0, 1]))
+
+    for r in (r0, r1):
+        assert r["process_count"] == 2 and r["step"] == 2
+    # both controllers observe the identical replicated result
+    assert r0["loss"] == r1["loss"]
+    assert r0["codebook_sum"] == r1["codebook_sum"]
+    # and it matches the single-process run to float tolerance
+    np.testing.assert_allclose(r0["loss"], ref["loss"], rtol=1e-5)
+    np.testing.assert_allclose(r0["loss1"], ref["loss1"], rtol=1e-5)
+    np.testing.assert_allclose(r0["codebook_sum"], ref["codebook_sum"],
+                               rtol=1e-5)

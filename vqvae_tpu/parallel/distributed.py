@@ -8,9 +8,13 @@ mesh, and each host feeds only the batch rows that live on its local
 devices. Three pieces:
 
 * ``initialize_from_env()`` — calls ``jax.distributed.initialize``
-  when a coordinator is configured (JAX_COORDINATOR_ADDRESS, or TPU
-  pod metadata the plugin resolves itself); a safe no-op on this
-  single-host box.
+  when a coordinator is configured. Multi-host REQUIRES the three env
+  vars JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+  (or VQVAE_DIST_AUTO=1 for a bare ``initialize()`` where the platform
+  plugin can resolve cluster metadata itself); without them each host
+  runs standalone. Safe no-op on this single-host box. Must be called
+  BEFORE any other JAX API touches the backend (jax.devices(),
+  jax.process_count(), any jit) — cli/train.py calls it first thing.
 * ``local_batch_slice(B)`` — the contiguous row range of the global
   batch this process owns. The batch axis shards over
   ('slice','data') majormost (parallel/mesh.batch_sharding), and
@@ -35,11 +39,23 @@ import jax
 import numpy as np
 
 
+_initialized = False
+
+
 def initialize_from_env() -> bool:
     """Initialise multi-controller JAX if configured; returns whether
-    a multi-process runtime is active (safe no-op single-host)."""
-    if jax.process_count() > 1:
-        return True
+    a multi-process runtime is active (safe no-op single-host).
+
+    Order matters: ``jax.distributed.initialize`` must run before ANY
+    call that initializes an XLA backend (``jax.devices()``,
+    ``jax.process_count()``, jit dispatch, ...) — JAX raises
+    RuntimeError otherwise. So this reads only env vars and an own
+    module flag before deciding, and consults ``jax.process_count()``
+    only after a successful init.
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
         jax.distributed.initialize(
@@ -47,6 +63,13 @@ def initialize_from_env() -> bool:
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
+        _initialized = True
+        return jax.process_count() > 1
+    if os.environ.get("VQVAE_DIST_AUTO") == "1":
+        # Platform plugins (TPU pods) can resolve coordinator/process
+        # metadata themselves; opt-in so single-host runs stay cheap.
+        jax.distributed.initialize()
+        _initialized = True
         return jax.process_count() > 1
     return False
 
