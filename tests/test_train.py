@@ -275,6 +275,51 @@ def test_codebook_lr_mult_scales_only_codebook_update():
     assert saw_codebook
 
 
+def test_evaluator_deterministic_full_split():
+    """Validation is a reproducible function of the split, not the RNG
+    (reference Evaluator parity): fixed utterance list, center crops,
+    identical metrics across calls and across batch caps that cover the
+    same windows."""
+    from vqvae_tpu.train import create_train_state
+    from vqvae_tpu.train.evaluator import Evaluator, eval_windows
+
+    class TinySplit:
+        """8 fixed utterances of varying length."""
+
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def __len__(self):
+            return 8
+
+        def full(self, i):
+            rng = np.random.default_rng(1000 + i)
+            n = self.cfg.length + 1 + 37 * i
+            return rng.uniform(-0.5, 0.5, n).astype(np.float32), i % 4
+
+    cfg = _cfg(batch_size=8, eval_batches=0)
+    ds = TinySplit(cfg.data)
+    wavs, spks = eval_windows(ds, cfg)
+    assert wavs.shape == (8, cfg.data.length + 1)
+    # center crop: utterance 2's window is reproducible
+    w2, _ = ds.full(2)
+    start = (len(w2) - (cfg.data.length + 1)) // 2
+    np.testing.assert_array_equal(
+        wavs[2], w2[start:start + cfg.data.length + 1])
+
+    mesh = make_mesh()
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    ev = Evaluator(ds, cfg, mesh)
+    m1 = ev(state.params)
+    m2 = ev(state.params)
+    assert m1 == m2                       # zero RNG noise
+    assert {"val_loss", "val_loss1", "val_loss3"} <= set(m1)
+    # an explicit cap covering the same 8 windows scores identically
+    ev_cap = Evaluator(ds, _cfg(batch_size=8, eval_batches=1), mesh)
+    m3 = ev_cap(state.params)
+    assert m3 == m1
+
+
 def test_eval_fires_on_its_own_schedule(tmp_path):
     """eval_every independent of log_every: validation rows appear even
     when the two schedules never coincide (regression: eval used to be

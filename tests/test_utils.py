@@ -9,9 +9,11 @@ from vqvae_tpu.utils import StepTimer, profile_trace
 def test_step_timer():
     t = StepTimer(alpha=1.0)
     assert t.tick() is None
+    time.sleep(0.2)          # "compile" interval — must be discarded
+    assert t.tick() is None
     time.sleep(0.01)
     r = t.tick()
-    assert r is not None and 1 < r < 1000
+    assert r is not None and 10 < r < 1000  # compile step not in EMA
 
 
 def test_profile_trace(tmp_path):

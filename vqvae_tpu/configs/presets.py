@@ -133,7 +133,9 @@ class TrainConfig:
     num_steps: int = 200_000
     log_every: int = 100
     eval_every: int = 0          # 0 disables validation evaluation
-    eval_batches: int = 4
+    # deterministic eval set size cap, in batches; 0 = the full valid
+    # split (one center crop per utterance — train/evaluator.py)
+    eval_batches: int = 0
     checkpoint_every: int = 2000
     keep_checkpoints: int = 5
     tensorboard: bool = False    # also mirror metrics to TB scalars

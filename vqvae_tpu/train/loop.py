@@ -12,7 +12,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from vqvae_tpu.configs import Config
 from vqvae_tpu.parallel.mesh import batch_sharding, make_mesh
@@ -64,7 +63,8 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     from vqvae_tpu.parallel.distributed import (
         local_batch_slice, put_global_batch,
     )
-    from vqvae_tpu.train.step import make_eval_step
+    from vqvae_tpu.train.evaluator import Evaluator
+    from vqvae_tpu.utils.profiling import StepTimer, profile_trace
     # deterministic, resumable stream: batch i is a pure function of
     # (seed, i); resuming at step N replays exactly what a straight run
     # would have seen (reference parity: iterator-position restore).
@@ -81,49 +81,39 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     # single-host this is the identity slice + a plain device_put
     hsl = local_batch_slice(cfg.train.batch_size)
 
-    eval_fn = None
+    evaluator = None
     if valid_dataset is not None and cfg.train.eval_every > 0:
-        eval_fn = make_eval_step(cfg, mesh, impl)
-
-    def run_eval(params):
-        rng = np.random.default_rng(cfg.train.seed + 777)
-        acc = None
-        for _ in range(cfg.train.eval_batches):
-            pairs = [valid_dataset.sample(rng)
-                     for _ in range(cfg.train.batch_size)]
-            wav, spk = put_global_batch(
-                bshard,
-                np.stack([p[0] for p in pairs])[hsl],
-                np.asarray([p[1] for p in pairs], np.int32)[hsl])
-            m = jax.device_get(eval_fn(params, wav, spk))
-            acc = m if acc is None else \
-                {k: acc[k] + m[k] for k in acc}
-        return {f"val_{k}": v / cfg.train.eval_batches
-                for k, v in acc.items()}
+        evaluator = Evaluator(valid_dataset, cfg, mesh, impl)
 
     prof = cfg.train.profile_steps
+    prof_ctx = None
+    timer = StepTimer()
     try:
         metrics = None
         for step in range(start, num_steps):
             if prof and step == start + 10:
-                jax.profiler.start_trace(os.path.join(out_dir, "profile"))
+                prof_ctx = profile_trace(os.path.join(out_dir, "profile"))
+                prof_ctx.__enter__()
             wav, spk = next(loader)
             wav, spk = put_global_batch(bshard, wav[hsl], spk[hsl])
             state, metrics = step_fn(state, wav, spk)
+            sps = timer.tick()
             if prof and step == start + 10 + prof - 1:
                 jax.device_get(metrics["loss"])
-                jax.profiler.stop_trace()
-                prof = 0
+                prof_ctx.__exit__(None, None, None)
+                prof_ctx, prof = None, 0
             do_log = ((step + 1) % cfg.train.log_every == 0
                       or step == start)
             # eval fires on ITS schedule (and forces a log row), not
             # only when it happens to coincide with a log step
-            do_eval = (eval_fn is not None
+            do_eval = (evaluator is not None
                        and (step + 1) % cfg.train.eval_every == 0)
             if do_log or do_eval:
                 rec = dict(jax.device_get(metrics))
+                if sps is not None:
+                    rec["steps_per_sec"] = sps
                 if do_eval:
-                    rec.update(run_eval(state.params))
+                    rec.update(evaluator(state.params))
                 logger.log(step + 1, rec, echo)
             if (step + 1) % cfg.train.checkpoint_every == 0:
                 save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
@@ -131,6 +121,8 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
             save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
         logger.plot()
     finally:
+        if prof_ctx is not None:
+            prof_ctx.__exit__(None, None, None)
         loader.close()
         logger.close()
     return state

@@ -43,7 +43,11 @@ class MetricsLogger:
         rec = {"iteration": int(step),
                "elapsed": now - self._t_last,
                **{k: float(v) for k, v in metrics.items()}}
-        if self._step_last is not None and now > self._t_last:
+        # the train loop injects an EMA steps_per_sec (utils/profiling
+        # StepTimer); fall back to the log-interval rate for callers
+        # that log without a timer
+        if ("steps_per_sec" not in rec and self._step_last is not None
+                and now > self._t_last):
             rec["steps_per_sec"] = (step - self._step_last) / \
                 (now - self._t_last)
         self._t_last, self._step_last = now, step

@@ -31,16 +31,22 @@ class StepTimer:
         self.alpha = alpha
         self.ema = None
         self._last = None
+        self._ticks = 0
 
     def tick(self) -> float | None:
-        """Call once per step; returns smoothed steps/sec (None on the
-        first call)."""
+        """Call once per step; returns smoothed steps/sec (None until a
+        steady-state interval exists). The FIRST interval is discarded:
+        it contains jit compilation, which would poison the EMA for
+        dozens of steps."""
         now = time.perf_counter()
+        self._ticks += 1
         if self._last is None:
             self._last = now
             return None
         dt = now - self._last
         self._last = now
+        if self._ticks == 2:        # interval over the compile step
+            return None
         self.ema = dt if self.ema is None else \
             (1 - self.alpha) * self.ema + self.alpha * dt
         return 1.0 / self.ema if self.ema else None
