@@ -141,6 +141,49 @@ def test_pallas_decoder_dp_and_tp(kernel):
     assert abs(losses["dp"] - losses["dp_tp"]) < 1e-4, losses
 
 
+def test_dp_sp_full_train_step_matches_dp():
+    """Sequence parallelism through the USER surface (cfg.train.mesh_seq
+    / --mesh-seq): the ('data','seq') 4x2 mesh routes the decoder stack
+    through parallel/sp_decoder.py inside the jitted train step —
+    time-sharded activations, per-layer halo ppermute — and the FULL
+    update (loss AND the params the gradients produced) matches pure
+    DP. Two steps so step 2 consumes step-1 params that came through
+    the SP backward."""
+    cfg = _cfg()
+    assert max(cfg.model.dilations) <= cfg.data.length // 2
+    batches = [_one_batch(cfg, seed=s) for s in (0, 1)]
+    results = []
+    for mesh in (make_mesh(),                      # 8x1 pure DP
+                 make_mesh(data=4, seq=2)):        # DP x SP
+        jit_for, sh_of = make_train_step(cfg, mesh)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        sh = sh_of(state)
+        state = jax.device_put(state, sh)
+        step = jit_for(sh)
+        bsh = batch_sharding(mesh)
+        for wav, spk in batches:
+            state, m = step(state, jax.device_put(wav, bsh),
+                            jax.device_put(spk, bsh))
+        results.append((jax.device_get(m),
+                        jax.device_get(state.params)))
+    m_dp, p_dp = results[0]
+    m_sp, p_sp = results[1]
+    for k in ("loss", "loss1", "loss2", "loss3"):
+        assert abs(m_dp[k] - m_sp[k]) < 1e-4, (k, m_dp[k], m_sp[k])
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_dp)[0],
+            jax.tree_util.tree_flatten_with_path(p_sp)[0]):
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6,
+                                   err_msg=str(ka))
+
+
+def test_mesh_seq_axis_shape():
+    m = make_mesh(data=2, seq=2, model=2)
+    assert m.shape == {"data": 2, "seq": 2, "model": 2}
+    m = make_mesh(seq=2)
+    assert m.shape == {"data": 4, "seq": 2, "model": 1}
+
+
 def test_ema_dp_tp_mesh_matches_dp():
     """EMA codebook + dead-code restart on the 4x2 mesh: codebook and
     EMA accumulators match the pure-DP run (the K-sharded count/sum

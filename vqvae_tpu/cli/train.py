@@ -33,6 +33,10 @@ def main() -> None:
                    help="'model' (tensor-parallel) mesh axis size")
     p.add_argument("--mesh-slices", type=int, default=None,
                    help="multi-slice pods: outer (DCN) mesh axis size")
+    p.add_argument("--mesh-seq", type=int, default=None,
+                   help="sequence-parallel mesh axis size: decoder "
+                        "activations time-sharded with halo exchange "
+                        "(needs max dilation <= length/mesh_seq)")
     p.add_argument("--impl", default="lax", choices=["lax", "pallas"],
                    help="VQ kernel implementation")
     p.add_argument("--decoder-kernel", default=None,
@@ -63,6 +67,8 @@ def main() -> None:
         tr["mesh_model"] = args.mesh_model
     if args.mesh_slices is not None:
         tr["mesh_slices"] = args.mesh_slices
+    if args.mesh_seq is not None:
+        tr["mesh_seq"] = args.mesh_seq
     if args.loader is not None:
         tr["loader"] = args.loader
     if args.eval_every is not None:

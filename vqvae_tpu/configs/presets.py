@@ -147,6 +147,10 @@ class TrainConfig:
     mesh_data: int = -1
     mesh_model: int = 1
     mesh_slices: int = 1         # multi-slice pods: outer DCN axis
+    # sequence-parallel axis: decoder activations time-sharded with
+    # per-layer halo exchange (parallel/sp_decoder.py); requires
+    # max(dilations) <= length / mesh_seq
+    mesh_seq: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

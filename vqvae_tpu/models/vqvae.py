@@ -51,20 +51,34 @@ def encode(params: Dict, cfg: ModelConfig, wav: jax.Array,
 
 
 def forward(params: Dict, cfg: ModelConfig, batch: Batch,
-            impl: str = "lax"
+            impl: str = "lax", mesh=None
             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Training forward: returns (total loss, metrics dict).
 
     Metric names loss1/loss2/loss3 mirror ``chainer.report`` so loss
     curves are directly comparable (SURVEY.md §5.5).
+
+    ``mesh`` (static): when it carries a 'seq' axis of size > 1, the
+    teacher-forced decoder stack runs sequence-parallel — activations
+    time-sharded over 'seq' with per-layer halo exchange
+    (parallel/sp_decoder.py), composing with DP over the batch axes.
     """
     z = apply_encoder(params["encoder"], cfg, batch.wav)   # [B,Tl,d] f32
     e_st, e, idx = quantize(params["vq"], z, impl)
     loss2, loss3 = vq_losses(z, e)
 
     cond = upsample_cond(params["decoder"], cfg, e_st)     # [B,T,d]
-    logits = apply_decoder(params["decoder"], cfg, batch.ids_in,
-                           cond, batch.speaker)            # [B,T,mu] f32
+    if (mesh is not None and "seq" in mesh.axis_names
+            and mesh.shape["seq"] > 1):
+        from vqvae_tpu.parallel.sp_decoder import apply_decoder_sp
+        bax = tuple(a for a in ("slice", "data")
+                    if a in mesh.axis_names)
+        logits = apply_decoder_sp(params, cfg, batch.ids_in,
+                                  cond, batch.speaker, mesh,
+                                  axis="seq", batch_axes=bax)
+    else:
+        logits = apply_decoder(params["decoder"], cfg, batch.ids_in,
+                               cond, batch.speaker)        # [B,T,mu] f32
     # Softmax cross-entropy via one-hot contraction instead of
     # take_along_axis: the integer-label gather (and its scatter in the
     # backward) costs ~2-4 ms/step at flagship shapes on TPU (profiled,

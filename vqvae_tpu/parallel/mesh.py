@@ -25,27 +25,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = -1, model: int = 1, slices: int = 1,
+              seq: int = 1,
               devices: Sequence[jax.Device] | None = None) -> Mesh:
-    """Build a ('data', 'model') mesh — or, with ``slices > 1``, a
-    ('slice', 'data', 'model') mesh for multi-slice pods.
+    """Build a ('data', 'model') mesh — optionally with a 'slice'
+    (multi-slice pods) outer axis and/or a 'seq' (sequence-parallel)
+    axis: the full shape is ('slice', 'data', 'seq', 'model'), axes of
+    size 1 dropped (except 'data'/'model', always present).
 
     Axis order encodes the physical hierarchy: 'slice' is the
     OUTERMOST (slowest-varying) axis, so consecutive devices — which
     JAX enumerates ICI-contiguous within a slice — land in the same
     'slice' row and the cross-slice gradient reduction is the only
-    traffic that rides DCN. data=-1 means 'all remaining'.
+    traffic that rides DCN; 'seq' and 'model' are innermost so halo
+    exchanges (parallel/sp_decoder.py) and TP collectives ride the
+    tightest ICI loops. data=-1 means 'all remaining'.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (model * slices) == 0, (n, model, slices)
-        data = n // (model * slices)
-    assert slices * data * model == n, (slices, data, model, n)
-    if slices == 1:
-        arr = np.asarray(devices).reshape(data, model)
-        return Mesh(arr, axis_names=("data", "model"))
-    arr = np.asarray(devices).reshape(slices, data, model)
-    return Mesh(arr, axis_names=("slice", "data", "model"))
+        assert n % (model * slices * seq) == 0, (n, model, slices, seq)
+        data = n // (model * slices * seq)
+    assert slices * data * seq * model == n, \
+        (slices, data, seq, model, n)
+    shape = {"slice": slices, "data": data, "seq": seq, "model": model}
+    keep = {k: v for k, v in shape.items()
+            if v > 1 or k in ("data", "model")}
+    arr = np.asarray(devices).reshape(tuple(keep.values()))
+    return Mesh(arr, axis_names=tuple(keep))
 
 
 def _data_axes(mesh: Mesh):

@@ -48,13 +48,20 @@ def _halo_shift_right(x: jax.Array, n: int, axis_name: str,
 
 def apply_decoder_sp(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
                      cond: jax.Array, speaker: jax.Array, mesh: Mesh,
-                     axis: str = "data") -> jax.Array:
+                     axis: str = "data",
+                     batch_axes=None) -> jax.Array:
     """Teacher-forced decode with T sharded over ``mesh[axis]``.
 
     ids_in ``[B, T]``, cond ``[B, T, d]`` (both T-sharded or
     replicated — shard_map partitions them), speaker ``[B]``.
     Returns logits ``[B, T, mu]`` T-sharded. Matches ``apply_decoder``
     exactly (same op order per shard).
+
+    ``batch_axes`` (e.g. ``('data',)``) additionally shards the BATCH
+    dim over those mesh axes, composing DP x SP: each (data, seq) tile
+    holds a (batch-slice, time-slice) block and the halo ppermutes run
+    along 'seq' only. None replicates the batch across the other axes
+    (the single-purpose time-sharding mode the tests pin).
     """
     from vqvae_tpu.models.wavenet import _gate, _head, global_cond
 
@@ -94,11 +101,13 @@ def apply_decoder_sp(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
                        "h2": {"w": head_h2w, "b": head_h2b}}}
         return _head(hp, cfg, skips)
 
-    tsh = P(None, axis)
-    tshc = P(None, axis, None)
+    bax = tuple(batch_axes) if batch_axes else None
+    tsh = P(bax, axis)
+    tshc = P(bax, axis, None)
+    gsh = P(None, bax, None)        # gcond [L, B, 2R]
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(tsh, tshc, P(), P(), P(), P(), P(), P(), P(), P(),
+        in_specs=(tsh, tshc, gsh, P(), P(), P(), P(), P(), P(), P(),
                   P(), P(), P(), P(), P(), P()),
         out_specs=tshc,
     )(ids_in, cond, gcond, emb["w"], emb["b"], lay["wf"], lay["bf"],

@@ -34,7 +34,7 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     out_dir = out_dir or cfg.train.out_dir
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
     mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_model,
-                             cfg.train.mesh_slices)
+                             cfg.train.mesh_slices, cfg.train.mesh_seq)
     n_data = mesh.shape["data"] * mesh.shape.get("slice", 1)
     assert cfg.train.batch_size % n_data == 0, (
         f"global batch {cfg.train.batch_size} must divide the "

@@ -28,19 +28,21 @@ from vqvae_tpu.train.state import TrainState, make_optimizer
 
 
 def train_step(state: TrainState, wav: jax.Array, speaker: jax.Array,
-               cfg: Config, impl: str = "lax"
+               cfg: Config, impl: str = "lax", sp_mesh=None
                ) -> Tuple[TrainState, dict]:
     """One update. wav ``[B, length+1]`` float raw slices, speaker ``[B]``.
 
     Framing (mu-law companding, next-sample targets) runs fused here —
     on device, sharded — rather than on the host like the reference's
-    Preprocess (SURVEY.md §3.4).
+    Preprocess (SURVEY.md §3.4). ``sp_mesh`` (static) routes the
+    decoder stack sequence-parallel when the mesh has a 'seq' axis.
     """
     mcfg = cfg.model
     batch = frame_batch(wav, speaker, mcfg.mu, mcfg.mulaw_mode)
 
     def loss_fn(params):
-        loss, (metrics, aux) = forward(params, mcfg, batch, impl)
+        loss, (metrics, aux) = forward(params, mcfg, batch, impl,
+                                       mesh=sp_mesh)
         return loss, (metrics, aux)
 
     (_, (metrics, aux)), grads = jax.value_and_grad(
@@ -82,19 +84,28 @@ def train_step(state: TrainState, wav: jax.Array, speaker: jax.Array,
 
 
 def eval_step(params, wav: jax.Array, speaker: jax.Array,
-              cfg: Config, impl: str = "lax") -> dict:
+              cfg: Config, impl: str = "lax", sp_mesh=None) -> dict:
     """Validation forward (reference: the Evaluator extension over the
     valid split — SURVEY.md §2.1 Training CLI row). Same fused forward,
     no grads/update."""
     batch = frame_batch(wav, speaker, cfg.model.mu,
                         cfg.model.mulaw_mode)
-    _, (metrics, _) = forward(params, cfg.model, batch, impl)
+    _, (metrics, _) = forward(params, cfg.model, batch, impl,
+                              mesh=sp_mesh)
     return metrics
+
+
+def _sp_mesh_or_none(mesh):
+    """The mesh itself when it carries an active sequence-parallel
+    axis (routes the decoder through parallel/sp_decoder.py)."""
+    return mesh if ("seq" in mesh.axis_names
+                    and mesh.shape["seq"] > 1) else None
 
 
 def make_eval_step(cfg: Config, mesh, impl: str = "lax") -> Callable:
     return jax.jit(
-        partial(eval_step, cfg=cfg, impl=impl),
+        partial(eval_step, cfg=cfg, impl=impl,
+                sp_mesh=_sp_mesh_or_none(mesh)),
         in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh)),
         out_shardings=replicated(mesh),
     )
@@ -117,7 +128,8 @@ def make_train_step(cfg: Config, mesh, impl: str = "lax"
 
     def jit_step(shardings):
         return jax.jit(
-            partial(train_step, cfg=cfg, impl=impl),
+            partial(train_step, cfg=cfg, impl=impl,
+                    sp_mesh=_sp_mesh_or_none(mesh)),
             in_shardings=(shardings, batch_sharding(mesh),
                           batch_sharding(mesh)),
             out_shardings=(shardings, replicated(mesh)),
