@@ -9,19 +9,28 @@ appears, its first-50-step trajectory slots into the same harness.
 
 Regenerate (after a *deliberate* semantics change):
     python tests/test_golden_trajectory.py > tests/fixtures/golden_trajectory.json
+    python tests/test_golden_trajectory.py chainer > tests/fixtures/golden_trajectory_chainer.json
 (the __main__ block forces the same CPU/precision env as conftest).
+Both mu-law binning modes carry a frozen trajectory, so the chainer
+digitize-parity switch is turn-key end to end (SURVEY.md §7 hard-part 3).
 """
 
 import dataclasses
 import json
 import os
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
-                       "golden_trajectory.json")
+import pytest
+
+FIXTURES = {
+    "round": os.path.join(os.path.dirname(__file__), "fixtures",
+                          "golden_trajectory.json"),
+    "chainer": os.path.join(os.path.dirname(__file__), "fixtures",
+                            "golden_trajectory_chainer.json"),
+}
 CHECK_STEPS = (1, 5, 10, 20, 30, 40, 50)
 
 
-def run_trajectory():
+def run_trajectory(mulaw_mode="round"):
     import jax
     import numpy as np
     from vqvae_tpu.audio.datasets import SineDataset
@@ -30,7 +39,9 @@ def run_trajectory():
     from vqvae_tpu.train import create_train_state, make_train_step
 
     cfg = get_config("tiny")
-    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=8))
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, batch_size=8),
+        model=dataclasses.replace(cfg.model, mulaw_mode=mulaw_mode))
     mesh = make_mesh()  # 8-device DP (DP-invariance is tested elsewhere)
     jit_for, shardings_of = make_train_step(cfg, mesh)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
@@ -53,11 +64,12 @@ def run_trajectory():
     return out
 
 
-def test_golden_training_trajectory():
+@pytest.mark.parametrize("mode", ["round", "chainer"])
+def test_golden_training_trajectory(mode):
     import numpy as np
-    with open(FIXTURE) as f:
+    with open(FIXTURES[mode]) as f:
         golden = json.load(f)
-    got = run_trajectory()
+    got = run_trajectory(mode)
     for step, losses in golden.items():
         for k, v in losses.items():
             # tolerance loosens with step: f32 drift compounds through
@@ -69,6 +81,7 @@ def test_golden_training_trajectory():
 
 
 if __name__ == "__main__":
+    import sys
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -77,4 +90,5 @@ if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
-    print(json.dumps(run_trajectory(), indent=1))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "round"
+    print(json.dumps(run_trajectory(mode), indent=1))

@@ -76,6 +76,21 @@ def test_native_mulaw_matches_jax():
     assert mismatch <= 2, f"{mismatch} mu-law mismatches"
 
 
+def test_native_mulaw_chainer_mode_matches_jax():
+    """The chainer digitize-parity binning in C++ (float32 math)
+    matches the jitted f32 path bit-for-bit away from bin edges."""
+    import jax.numpy as jnp
+    from vqvae_tpu.audio.mu_law import mu_law_encode
+    x = np.random.default_rng(1).uniform(-1.2, 1.2, 5000) \
+        .astype(np.float32)
+    ref = np.asarray(mu_law_encode(jnp.asarray(x), 256, "chainer"))
+    got = nat.mulaw_encode(x, 256, mode="chainer")
+    mismatch = int((ref != got).sum())
+    assert mismatch <= 2, f"{mismatch} chainer-mode mismatches"
+    # the two modes genuinely differ (different companding constant)
+    assert (nat.mulaw_encode(x, 256) != got).any()
+
+
 def test_native_bad_file(tmp_path):
     p = str(tmp_path / "bad.wav")
     open(p, "wb").write(b"not a wav file at all, definitely not")

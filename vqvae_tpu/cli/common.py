@@ -20,22 +20,35 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                         "fastgen/stretch); when omitted, decode-side "
                         "CLIs reload the config recorded by the "
                         "training run (-m dir/config.json)")
+    p.add_argument("--mulaw-mode", default=None,
+                   choices=["round", "chainer"],
+                   help="mu-law binning: 'round' (TPU-native default) "
+                        "or 'chainer' (the reference's digitize-style "
+                        "bins, for bit-comparable loss curves)")
 
 
 def resolve_config(args) -> Config:
     """--preset if given; else the training run's recorded config.json
-    (when the CLI has a -m/--model run dir); else the flagship."""
+    (when the CLI has a -m/--model run dir); else the flagship.
+    ``--mulaw-mode`` overrides whichever config was resolved."""
+    cfg = None
     if args.preset is not None:
-        return get_config(args.preset)
-    model = getattr(args, "model", None)
-    if model and os.path.isdir(model):
-        from vqvae_tpu.configs import load_config
-        cfg = load_config(model)
-        if cfg is not None:
-            print(f"config: loaded {os.path.join(model, 'config.json')}"
-                  f" (preset '{cfg.name}')")
-            return cfg
-    return get_config("vctk-multi")
+        cfg = get_config(args.preset)
+    else:
+        model = getattr(args, "model", None)
+        if model and os.path.isdir(model):
+            from vqvae_tpu.configs import load_config
+            cfg = load_config(model)
+            if cfg is not None:
+                print(f"config: loaded "
+                      f"{os.path.join(model, 'config.json')}"
+                      f" (preset '{cfg.name}')")
+    cfg = cfg or get_config("vctk-multi")
+    if getattr(args, "mulaw_mode", None):
+        import dataclasses
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, mulaw_mode=args.mulaw_mode))
+    return cfg
 
 
 def checkpoint_dir(model_path: str) -> str:

@@ -154,7 +154,28 @@ void vqa_free(float* p) { std::free(p); }
 
 // Host-side mu-law companding (matches audio/mu_law.py bit-for-bit on
 // the integer ids): float [-1,1] -> ids in [0, mu).
-void vqa_mulaw_encode(const float* x, int64_t n, int mu, int32_t* out) {
+// mode 0 = "round" (TPU-native symmetric rounding, mu-1 constant),
+// mode 1 = "chainer" (the reference's digitize-style binning:
+// floor((y+1)*mu/2) with a mu companding constant — float32 math to
+// mirror the jitted f32 path at bin edges).
+void vqa_mulaw_encode_mode(const float* x, int64_t n, int mu, int mode,
+                           int32_t* out) {
+  if (mode == 1) {
+    const float mf = static_cast<float>(mu);
+    const float denom = std::log1p(mf);
+    for (int64_t i = 0; i < n; ++i) {
+      float v = x[i];
+      if (v > 1.0f) v = 1.0f;
+      if (v < -1.0f) v = -1.0f;
+      float y = (v > 0 ? 1.0f : (v < 0 ? -1.0f : 0.0f)) *
+                std::log1p(mf * std::fabs(v)) / denom;
+      long id = static_cast<long>(std::floor((y + 1.0f) * (mf * 0.5f)));
+      if (id < 0) id = 0;
+      if (id > mu - 1) id = mu - 1;
+      out[i] = static_cast<int32_t>(id);
+    }
+    return;
+  }
   const double m = mu - 1;
   const double denom = std::log1p(m);
   for (int64_t i = 0; i < n; ++i) {
@@ -168,6 +189,10 @@ void vqa_mulaw_encode(const float* x, int64_t n, int mu, int32_t* out) {
     if (id > (long)m) id = (long)m;
     out[i] = static_cast<int32_t>(id);
   }
+}
+
+void vqa_mulaw_encode(const float* x, int64_t n, int mu, int32_t* out) {
+  vqa_mulaw_encode_mode(x, n, mu, /*mode=*/0, out);
 }
 
 }  // extern "C"

@@ -58,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.vqa_mulaw_encode_mode.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
         except Exception:
             _failed = True
@@ -87,14 +92,19 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     return wav, sr.value
 
 
-def mulaw_encode(x: np.ndarray, mu: int = 256) -> np.ndarray:
-    """Host-side mu-law ids (bit-identical to audio/mu_law.py)."""
+def mulaw_encode(x: np.ndarray, mu: int = 256,
+                 mode: str = "round") -> np.ndarray:
+    """Host-side mu-law ids (bit-identical to audio/mu_law.py in the
+    matching ``mode`` — "round" or the reference's "chainer"
+    digitize-parity binning)."""
     lib = _load()
     if lib is None:
         raise ImportError("native audio library unavailable")
+    mode_id = {"round": 0, "chainer": 1}[mode]
     x = np.ascontiguousarray(x, np.float32)
     out = np.empty(x.shape, np.int32)
-    lib.vqa_mulaw_encode(
+    lib.vqa_mulaw_encode_mode(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        x.size, mu, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        x.size, mu, mode_id,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
