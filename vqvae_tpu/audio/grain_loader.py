@@ -94,10 +94,17 @@ class GrainBatchLoader:
         return np.asarray(wav), np.asarray(spk)
 
     def close(self) -> None:
-        # grain's DataLoader iterator cleans up its workers when
-        # garbage-collected; drop our reference eagerly
-        self._it = None
-        self._dl = None
+        # deterministic shutdown: with worker_count>0 the prefetch
+        # threads/worker processes must be reaped NOW, not whenever GC
+        # collects the iterator (BatchLoader.close parity). grain's
+        # public DataLoaderIterator has no close(), but its inner
+        # dataset iterator does — call it defensively so an API shift
+        # degrades back to GC cleanup instead of crashing.
+        it, self._it, self._dl = self._it, None, None
+        inner = getattr(it, "_iterator", None)
+        closer = getattr(inner, "close", None)
+        if closer is not None:
+            closer()
 
 
 def make_loader(kind: str, dataset, batch_size: int, seed: int = 0,

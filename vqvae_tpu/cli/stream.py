@@ -60,18 +60,44 @@ def main() -> None:
                           mode=m.mulaw_mode)
         codes = encode_to_codes(params, m, x)
 
-    syn = StreamingSynthesizer(params, m, jnp.asarray([args.speaker]),
-                               jax.random.PRNGKey(args.seed),
-                               args.temperature, args.greedy)
     sr = cfg.data.sr
-    pieces = []
     n_frames = codes.shape[1]
     C = max(1, args.chunk_frames)
-    for i, lo in enumerate(range(0, n_frames, C)):
+    lens = [C] * (n_frames // C)
+    if n_frames % C:
+        lens.append(n_frames % C)   # ragged tail keeps bit-exactness
+                                    # (tail cond depends on stream end)
+
+    def make_syn():
+        return StreamingSynthesizer(params, m,
+                                    jnp.asarray([args.speaker]),
+                                    jax.random.PRNGKey(args.seed),
+                                    args.temperature, args.greedy)
+
+    # prime the jit cache on a throwaway synthesizer — every distinct
+    # chunk shape the real run will see (first chunk, steady chunks,
+    # ragged tail, flush; _stream_chunk's cache is module-level) — so
+    # the reported per-chunk latencies are SERVING latencies, not
+    # compiles
+    t0 = time.perf_counter()
+    warm = make_syn()
+    dummy = jnp.zeros((1, C), jnp.int32)
+    jax.block_until_ready(warm.push(dummy[:, :lens[0]]))
+    for L in sorted(set(lens[1:])):
+        jax.block_until_ready(warm.push(dummy[:, :L]))
+    jax.block_until_ready(warm.flush())
+    print(f"warmup: {time.perf_counter() - t0:.1f}s (jit compile)",
+          flush=True)
+
+    syn = make_syn()
+    pieces = []
+    lo = 0
+    for i, L in enumerate(lens):
         t0 = time.perf_counter()
         piece = np.asarray(
-            jax.device_get(syn.push(codes[:, lo:lo + C])))[0]
+            jax.device_get(syn.push(codes[:, lo:lo + L])))[0]
         dt = time.perf_counter() - t0
+        lo += L
         pieces.append(piece)
         rt = len(piece) / sr / dt if dt > 0 else float("inf")
         print(f"chunk {i}: {len(piece)} samples in {dt * 1e3:.1f} ms "
