@@ -185,6 +185,83 @@ def test_train_stack_pallas_multi_chunk(kernel):
             rtol=1e-3, err_msg=f"grad mismatch at {path}")
 
 
+def test_train_stack_pallas_windowed_bwd_matches_xla():
+    """bwd_time_windows=2 (time-windowed recompute backward: sum(dils)
+    halo recompute + dh spill carry, grid right-to-left) produces the
+    same loss and gradients as the lax loop AND as the full-T backward
+    — every param leaf, at the tiny config's full dilation spread
+    (max dil 512, Tc=512)."""
+    import dataclasses
+    from vqvae_tpu.audio.framing import frame_batch
+    from vqvae_tpu.models import forward
+
+    cfg_x = get_config("tiny").model
+    cfg_w = dataclasses.replace(cfg_x, decoder_kernel="pallas",
+                                bwd_time_windows=2)
+    cfg_f = dataclasses.replace(cfg_x, decoder_kernel="pallas")
+    params = init_model(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 1025)), jnp.float32)
+    batch = frame_batch(wav, jnp.asarray([0, 1]), cfg_x.mu)
+
+    def loss_fn(cfg):
+        return lambda p: forward(p, cfg, batch)[0]
+
+    l_x, g_x = jax.value_and_grad(loss_fn(cfg_x))(params)
+    l_w, g_w = jax.value_and_grad(loss_fn(cfg_w))(params)
+    l_f, g_f = jax.value_and_grad(loss_fn(cfg_f))(params)
+    np.testing.assert_allclose(float(l_x), float(l_w), rtol=1e-6)
+    for (path, a), (_, b), (_, c) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_w)[0],
+            jax.tree_util.tree_flatten_with_path(g_f)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4 * scale + 1e-8,
+            rtol=1e-3, err_msg=f"grad mismatch vs lax at {path}")
+        # windowed and full-T backwards do the same math in a
+        # different schedule — they agree much tighter
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(c), atol=1e-5 * scale + 1e-8,
+            rtol=1e-4, err_msg=f"windowed != full-T at {path}")
+
+
+def test_train_stack_pallas_windowed_bwd_many_windows():
+    """4 time windows on a small-dilation stack (max dil 32, Tc=64):
+    the spill carry crosses three window boundaries per layer,
+    including dil == window edge cases, and still matches the lax
+    loop."""
+    import dataclasses
+    cfg_x = dataclasses.replace(get_config("tiny").model,
+                                n_loop=1, n_layer=6)  # dils 1..32
+    cfg_w = dataclasses.replace(cfg_x, decoder_kernel="pallas",
+                                bwd_time_windows=4)
+    params = init_model(jax.random.PRNGKey(7), cfg_x)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (3, 256), 0,
+                             cfg_x.mu)
+    Tl = 256 // cfg_x.hop
+    e = jax.random.normal(jax.random.PRNGKey(2), (3, Tl, cfg_x.d))
+    cond = upsample_cond(params["decoder"], cfg_x, e)
+    spk = jnp.asarray([0, 1, 2])
+
+    def out_sum(cfg):
+        def f(p):
+            lg = apply_decoder(p["decoder"], cfg, ids, cond, spk)
+            return jnp.sum(lg * jnp.cos(lg * 0.1))
+        return f
+
+    v_x, g_x = jax.value_and_grad(out_sum(cfg_x))(params)
+    v_w, g_w = jax.value_and_grad(out_sum(cfg_w))(params)
+    np.testing.assert_allclose(float(v_x), float(v_w), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_w)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4 * scale + 1e-8,
+            rtol=1e-3, err_msg=f"grad mismatch at {path}")
+
+
 @pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
 def test_train_stack_pallas_remat(kernel):
     """cfg.remat wraps the chunk kernels in jax.checkpoint without

@@ -43,6 +43,10 @@ def main() -> None:
                    choices=["xla", "pallas", "pallas_sg"],
                    help="training-path gated-residual stack: XLA layer "
                         "loop or fused Pallas chunk kernels")
+    p.add_argument("--bwd-windows", type=int, default=None,
+                   help="pallas decoder kernel: time-window the "
+                        "recompute backward into N chunks (restores "
+                        "the G=2 batch group; see kernels/)")
     p.add_argument("--loader", default=None,
                    choices=["threads", "grain"],
                    help="host input pipeline (identical stream; "
@@ -82,6 +86,9 @@ def main() -> None:
     if args.decoder_kernel is not None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, decoder_kernel=args.decoder_kernel))
+    if args.bwd_windows is not None:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, bwd_time_windows=args.bwd_windows))
 
     dataset, valid = make_dataset(cfg, args.dataset, args.root)
     train(cfg, dataset, out_dir=cfg.train.out_dir, resume=args.resume,

@@ -86,6 +86,12 @@ class ModelConfig:
     # ops/conv.py) or "pallas" (whole stack fused in one kernel —
     # kernels/encoder_pallas.py)
     encoder_kernel: str = "xla"
+    # decoder_kernel="pallas" only: >1 time-windows the recompute
+    # backward (sum(dils)-halo grid over T-chunks) so its VMEM scratch
+    # shrinks ~n-fold and the batch group returns to G=2; needs
+    # length % windows == 0 and length/windows >= max dilation.
+    # 0 = single full-T backward program per batch element.
+    bwd_time_windows: int = 0
     remat: bool = False          # jax.checkpoint each decoder layer:
     # trades recompute FLOPs for backward activation memory. Measured on
     # v5e flagship: hurts throughput at B<=64 (compute-bound), so off by

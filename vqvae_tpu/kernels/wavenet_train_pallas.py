@@ -220,6 +220,133 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
     dcond_ref[...] = dcond.reshape(G, T, -1).astype(cdt)
 
 
+def _bwd_kernel_windowed(dils: Tuple[int, ...], R: int, A: int, Tc: int,
+                         hpad_ref, cond_ref, gc_ref, wff_ref, vc_ref,
+                         wr_ref, br_ref, ws_ref, dhout_ref, dskips_ref,
+                         dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
+                         dwr_ref, dbr_ref, dws_ref,
+                         hall_ref, gall_ref, spill_ref):
+    """Time-windowed recompute backward (VERDICT r2 #1).
+
+    Grid = (B//G, nT), time windows walked RIGHT-to-LEFT (dh flows
+    backward through the causal shifts). Per window [t0, t1):
+
+    * pass 1 recomputes the chunk forward over the EXTENDED window
+      [t0-A, t1) straight from the (VMEM-resident, left-padded) chunk
+      input ``hpad`` — the in-window zero-shift corrupts layer li's
+      recompute only on its first sum(dils[:li]) frames, and with
+      A >= sum(dils) pass 2 never reads a corrupted frame (exactness
+      argument in the commit; pinned vs lax in tests). Scratch is
+      ``[nl, G, Tc+A, R]`` instead of full-T — the VMEM saving that
+      buys the batch group back.
+    * pass 2 sweeps layers in reverse over the window rows only. The
+      one cross-window dependency is shift_left: dh(t) takes
+      dph_a(t+dil) from the window to the RIGHT — carried in the
+      persistent ``spill`` scratch (zeroed at j==0, the sequence tail,
+      where shift_left pads zeros).
+    """
+    cdt = hpad_ref.dtype
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    tc = nT - 1 - j
+    t0p = tc * Tc                    # window start in hpad coords
+    nl = len(dils)
+    G = hpad_ref.shape[0]
+    W = Tc + A
+    d = cond_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _init_per_b():
+        spill_ref[:] = jnp.zeros(spill_ref.shape, jnp.float32)
+        dgc_ref[:] = jnp.zeros(dgc_ref.shape, jnp.float32)
+
+    @pl.when((b == 0) & (j == 0))
+    def _init():
+        dwff_ref[:] = jnp.zeros(dwff_ref.shape, jnp.float32)
+        dvc_ref[:] = jnp.zeros(dvc_ref.shape, jnp.float32)
+        dwr_ref[:] = jnp.zeros(dwr_ref.shape, jnp.float32)
+        dbr_ref[:] = jnp.zeros(dbr_ref.shape, jnp.float32)
+        dws_ref[:] = jnp.zeros(dws_ref.shape, jnp.float32)
+
+    # pass 1: recompute over [t0-A, t1)
+    h = hpad_ref[:, pl.ds(t0p, W), :]                 # [G, W, R]
+    condw = cond_ref[:, pl.ds(t0p, W), :]
+    condw_f = condw.reshape(G * W, d)
+    # positions before the sequence start: every h_li there must be an
+    # EXACT zero (shift_right's causal padding), but the recompute
+    # would regenerate gate(bias)-driven nonzeros from the zero-padded
+    # input — mask them out after each residual update (the leftmost
+    # windows extend to negative t whenever t0 < A)
+    neg = (jax.lax.broadcasted_iota(jnp.int32, (G, W, 1), 1)
+           + (t0p - A)) < 0
+    for li, dil in enumerate(dils):
+        hall_ref[li] = h
+        _, u = _u_of(h, condw_f, gc_ref, wff_ref, vc_ref, li, dil)
+        ta, sb, z = _gate(u, R, cdt)
+        gall_ref[li] = jnp.concatenate([ta[:, A:], sb[:, A:]],
+                                       axis=-1).astype(cdt)
+        h = (h.reshape(G * W, R)
+             + jnp.dot(z, wr_ref[li],
+                       preferred_element_type=jnp.float32).astype(cdt)
+             + br_ref[li].astype(cdt)).reshape(G, W, R)
+        h = jnp.where(neg, jnp.zeros((), cdt), h)
+
+    # pass 2: reverse layer sweep over the window rows
+    dh = dhout_ref[...].reshape(G * Tc, R).astype(jnp.float32)
+    dskips = dskips_ref[...].reshape(G * Tc, -1).astype(cdt)
+    cond_win = condw[:, A:, :].reshape(G * Tc, d)
+    dcond = jnp.zeros((G * Tc, d), jnp.float32)
+    for li in reversed(range(nl)):
+        dil = dils[li]
+        hin = hall_ref[li]                            # [G, W, R]
+        ph = jnp.concatenate([hin[:, A - dil:W - dil], hin[:, A:]],
+                             axis=-1).reshape(G * Tc, 2 * R)
+        g = gall_ref[li]                              # [G, Tc, 2R]
+        ta = g[..., :R].astype(jnp.float32)
+        sb = g[..., R:].astype(jnp.float32)
+        z = (ta * sb).astype(cdt).reshape(G * Tc, R)
+
+        dh_c = dh.astype(cdt)
+        dbr_ref[li] += jnp.sum(dh, axis=0)
+        dwr_ref[li] += jnp.dot(z.T, dh_c,
+                               preferred_element_type=jnp.float32)
+        dws_ref[li] += jnp.dot(z.T, dskips,
+                               preferred_element_type=jnp.float32)
+        dz = (jnp.dot(dh_c, wr_ref[li].T,
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(dskips, ws_ref[li].T,
+                        preferred_element_type=jnp.float32)
+              ).reshape(G, Tc, R)
+        da = dz * sb * (1.0 - ta * ta)
+        db = dz * ta * sb * (1.0 - sb)
+        du_g = jnp.concatenate([da, db], axis=-1)     # [G, Tc, 2R] f32
+        du = du_g.astype(cdt).reshape(G * Tc, 2 * R)
+
+        dgc_ref[:, li] += jnp.sum(du_g, axis=1)
+        dwff_ref[li] += jnp.dot(ph.T, du,
+                                preferred_element_type=jnp.float32)
+        dvc_ref[li] += jnp.dot(cond_win.T, du,
+                               preferred_element_type=jnp.float32)
+        dcond = dcond + jnp.dot(du, vc_ref[li].T,
+                                preferred_element_type=jnp.float32)
+        dph = jnp.dot(du, wff_ref[li].T,
+                      preferred_element_type=jnp.float32
+                      ).reshape(G, Tc, 2 * R)
+        dph_a = dph[..., :R]
+        # shift_left across the window boundary: the tail takes the
+        # RIGHT window's first dil frames of dph_a from the spill carry
+        tail = spill_ref[li, :, :dil, :]              # [G, dil, R] f32
+        shifted = tail if dil == Tc else \
+            jnp.concatenate([dph_a[:, dil:, :], tail], axis=1)
+        spill_ref[li, :, :dil, :] = dph_a[:, :dil, :]
+        dh = (dh.reshape(G, Tc, R) + dph[..., R:]
+              + shifted).reshape(G * Tc, R)
+
+    dh_ref[...] = dh.reshape(G, Tc, R).astype(cdt)
+    dcond_ref[...] = dcond.reshape(G, Tc, d).astype(cdt)
+
+
 def _const_spec(*shape):
     return pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
@@ -241,9 +368,9 @@ def _group_of(B: int, want: int = 2) -> int:
     return want if B % want == 0 else 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def fused_stack_chunk(dils: Tuple[int, ...], interpret: bool,
-                      save_gates: bool,
+                      save_gates: bool, bwd_windows: int,
                       h, cond, gc, wff, vc, wr, br, ws
                       ) -> Tuple[jax.Array, jax.Array]:
     """nl-layer chunk: returns (h_out [B,T,R], skips [B,T,S]).
@@ -254,6 +381,12 @@ def fused_stack_chunk(dils: Tuple[int, ...], interpret: bool,
     and transcendentals, replaying only the residual chain.  With
     ``False`` (flash-attention-style) nothing but (h_out, skips)
     leaves the kernel and the backward recomputes the chunk forward.
+
+    ``bwd_windows`` > 1 runs the recompute backward TIME-WINDOWED
+    (grid over T-chunks with a sum(dils) halo + dh spill carry,
+    _bwd_kernel_windowed): the per-program scratch shrinks by ~nT so
+    the batch group returns to G=2. 0/1 = the full-T backward.
+    Ignored (full-T) under ``save_gates``.
     """
     out = _chunk_fwd_call(dils, interpret, False, h, cond, gc, wff,
                           vc, wr, br, ws)
@@ -303,7 +436,7 @@ def _chunk_fwd_call(dils, interpret, save_gates,
     return out
 
 
-def _chunk_vjp_fwd(dils, interpret, save_gates,
+def _chunk_vjp_fwd(dils, interpret, save_gates, bwd_windows,
                    h, cond, gc, wff, vc, wr, br, ws):
     out = _chunk_fwd_call(dils, interpret, save_gates, h, cond, gc,
                           wff, vc, wr, br, ws)
@@ -311,7 +444,10 @@ def _chunk_vjp_fwd(dils, interpret, save_gates,
     return tuple(out[:2]), (h, cond, gc, wff, vc, wr, br, ws, gall)
 
 
-def _chunk_vjp_bwd(dils, interpret, save_gates, res, cots):
+def _chunk_vjp_bwd(dils, interpret, save_gates, bwd_windows, res, cots):
+    if bwd_windows > 1 and not save_gates:
+        return _chunk_bwd_windowed_call(dils, interpret, bwd_windows,
+                                        res, cots)
     h, cond, gc, wff, vc, wr, br, ws, gall = res
     dhout, dskips = cots
     B, T, R = h.shape
@@ -379,6 +515,95 @@ def _chunk_vjp_bwd(dils, interpret, save_gates, res, cots):
             dbr.astype(br.dtype), dws.astype(ws.dtype))
 
 
+def _chunk_bwd_windowed_call(dils, interpret, n_windows, res, cots):
+    """Launch _bwd_kernel_windowed: grid (B//G, nT), G restored to 2."""
+    h, cond, gc, wff, vc, wr, br, ws, _ = res
+    dhout, dskips = cots
+    B, T, R = h.shape
+    d = cond.shape[-1]
+    nl = len(dils)
+    S = ws.shape[-1]
+    f32 = jnp.float32
+    nT = n_windows
+    assert T % nT == 0, (T, nT)
+    Tc = T // nT
+    Dmax = max(dils)
+    assert Tc % 8 == 0 and Tc >= Dmax, (Tc, Dmax)
+    A = -(-sum(dils) // 8) * 8          # halo: exactness needs >= sum
+    W = Tc + A
+    G = _group_of(B, 2)
+
+    hpad = jnp.pad(h, ((0, 0), (A, 0), (0, 0)))
+    condpad = jnp.pad(cond, ((0, 0), (A, 0), (0, 0)))
+
+    def full_spec(*shape):
+        # whole (padded) array per batch group, revisited across j
+        return pl.BlockSpec((G,) + shape, lambda b, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def win_spec(*shape):
+        # per-window block, time reversed (right-to-left sweep)
+        return pl.BlockSpec(
+            (G,) + shape,
+            lambda b, j, nT=nT: (b, nT - 1 - j, 0),
+            memory_space=pltpu.VMEM)
+
+    def const2(*shape):
+        return pl.BlockSpec(shape, lambda b, j: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    dh, dcond, dgc, dwff, dvc, dwr, dbr, dws = pl.pallas_call(
+        functools.partial(_bwd_kernel_windowed, dils, R, A, Tc),
+        grid=(B // G, nT),
+        in_specs=[
+            full_spec(T + A, R),            # hpad
+            full_spec(T + A, d),            # condpad
+            pl.BlockSpec((G, nl, 2 * R), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # gc
+            const2(nl, 2 * R, 2 * R),       # wff
+            const2(nl, d, 2 * R),           # vc
+            const2(nl, R, R),               # wr
+            const2(nl, R),                  # br
+            const2(nl, R, S),               # ws
+            win_spec(Tc, R),                # dhout
+            win_spec(Tc, S),                # dskips
+        ],
+        out_specs=[
+            win_spec(Tc, R),                # dh
+            win_spec(Tc, d),                # dcond
+            pl.BlockSpec((G, nl, 2 * R), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # dgc
+            const2(nl, 2 * R, 2 * R),       # dwff (grid-accumulated)
+            const2(nl, d, 2 * R),           # dvc
+            const2(nl, R, R),               # dwr
+            const2(nl, R),                  # dbr
+            const2(nl, R, S),               # dws
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, R), h.dtype),
+            jax.ShapeDtypeStruct((B, T, d), cond.dtype),
+            jax.ShapeDtypeStruct((B, nl, 2 * R), f32),
+            jax.ShapeDtypeStruct((nl, 2 * R, 2 * R), f32),
+            jax.ShapeDtypeStruct((nl, d, 2 * R), f32),
+            jax.ShapeDtypeStruct((nl, R, R), f32),
+            jax.ShapeDtypeStruct((nl, R), f32),
+            jax.ShapeDtypeStruct((nl, R, S), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nl, G, W, R), h.dtype),        # hall
+            pltpu.VMEM((nl, G, Tc, 2 * R), h.dtype),   # gall (window)
+            pltpu.VMEM((nl, G, Dmax, R), f32),         # dh spill carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(hpad, condpad, gc, wff, vc, wr, br, ws, dhout, dskips)
+    return (dh, dcond, dgc.astype(gc.dtype), dwff.astype(wff.dtype),
+            dvc.astype(vc.dtype), dwr.astype(wr.dtype),
+            dbr.astype(br.dtype), dws.astype(ws.dtype))
+
+
 fused_stack_chunk.defvjp(_chunk_vjp_fwd, _chunk_vjp_bwd)
 
 
@@ -419,13 +644,15 @@ def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
     chunk = fused_stack_chunk
     if cfg.remat:
         chunk = jax.checkpoint(fused_stack_chunk,
-                               static_argnums=(0, 1, 2))
+                               static_argnums=(0, 1, 2, 3))
 
+    bwd_windows = getattr(cfg, "bwd_time_windows", 0)
     cond = cond.astype(cdt)
     skips = None
     for l0 in range(0, L, per):
         l1 = min(l0 + per, L)
-        h, s = chunk(tuple(dils[l0:l1]), interpret, save_gates, h,
+        h, s = chunk(tuple(dils[l0:l1]), interpret, save_gates,
+                     bwd_windows, h,
                      cond, gct[:, l0:l1], wff[l0:l1], vc[l0:l1],
                      wr[l0:l1], br[l0:l1], ws[l0:l1])
         skips = s if skips is None else skips + s
