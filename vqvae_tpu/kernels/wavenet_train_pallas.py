@@ -300,7 +300,13 @@ def _bwd_kernel_windowed(dils: Tuple[int, ...], R: int, A: int, Tc: int,
     for li in reversed(range(nl)):
         dil = dils[li]
         hin = hall_ref[li]                            # [G, W, R]
-        ph = jnp.concatenate([hin[:, A - dil:W - dil], hin[:, A:]],
+        # shift_right over the EXTENDED window then crop to [A:] ==
+        # hin[A-dil : W-dil] (A >= dil), but built from a pad (fresh,
+        # offset-aligned buffer) — Mosaic rejects lane-concats whose
+        # operands carry mismatched sublane offsets, which the direct
+        # unaligned slice produces
+        ph = jnp.concatenate([_shift_right(hin, dil)[:, A:],
+                              hin[:, A:]],
                              axis=-1).reshape(G * Tc, 2 * R)
         g = gall_ref[li]                              # [G, Tc, 2R]
         ta = g[..., :R].astype(jnp.float32)
@@ -337,8 +343,11 @@ def _bwd_kernel_windowed(dils: Tuple[int, ...], R: int, A: int, Tc: int,
         # shift_left across the window boundary: the tail takes the
         # RIGHT window's first dil frames of dph_a from the spill carry
         tail = spill_ref[li, :, :dil, :]              # [G, dil, R] f32
-        shifted = tail if dil == Tc else \
-            jnp.concatenate([dph_a[:, dil:, :], tail], axis=1)
+        # shift_left within the window (pad-based, aligned) + the tail
+        # placed at the last dil rows — avoids a sublane concat of an
+        # unaligned dph_a slice
+        shifted = _shift_left(dph_a, dil) + \
+            jnp.pad(tail, ((0, 0), (Tc - dil, 0), (0, 0)))
         spill_ref[li, :, :dil, :] = dph_a[:, :dil, :]
         dh = (dh.reshape(G, Tc, R) + dph[..., R:]
               + shifted).reshape(G * Tc, R)
@@ -531,7 +540,11 @@ def _chunk_bwd_windowed_call(dils, interpret, n_windows, res, cots):
     assert Tc % 8 == 0 and Tc >= Dmax, (Tc, Dmax)
     A = -(-sum(dils) // 8) * 8          # halo: exactness needs >= sum
     W = Tc + A
-    G = _group_of(B, 2)
+    # batch group (experiment knob, docs/PERF.md "Windowed backward":
+    # G=1 vs G=2 measured indistinguishable — the backward is
+    # FLOP-bound, not per-program-overhead-bound)
+    import os
+    G = _group_of(B, int(os.environ.get("VQVAE_BWD_WANT_G", "2")))
 
     hpad = jnp.pad(h, ((0, 0), (A, 0), (0, 0)))
     condpad = jnp.pad(cond, ((0, 0), (A, 0), (0, 0)))
