@@ -213,3 +213,27 @@ def test_cli_mulaw_mode_chainer_end_to_end(tmp_path, monkeypatch):
     ns2 = argparse.Namespace(preset="tiny", model=None,
                              mulaw_mode="chainer")
     assert resolve_config(ns2).model.mulaw_mode == "chainer"
+
+
+def test_cli_score_deterministic_and_sp(trained_run, tmp_path,
+                                        monkeypatch, capsys):
+    """vqvae-score: deterministic split scoring from a checkpoint, and
+    the --mesh-seq path (sequence-parallel decoder) produces the same
+    numbers as the plain mesh."""
+    import json
+    from vqvae_tpu.cli.score import main as score
+
+    def run(extra):
+        _run(score, ["-m", trained_run, "--dataset", "sine",
+                     "--batch-size", "8", "--eval-batches", "1",
+                     "--json"] + extra, monkeypatch)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(out)
+
+    a = run([])
+    b = run([])
+    assert a == b                       # reproducible
+    assert a["windows"] == 8 and "val_loss1" in a
+    sp = run(["--mesh-seq", "2"])
+    for k in ("val_loss", "val_loss1", "val_loss3"):
+        assert abs(sp[k] - a[k]) < 1e-4, (k, sp[k], a[k])
