@@ -262,15 +262,18 @@ def test_train_stack_pallas_windowed_bwd_many_windows():
             rtol=1e-3, err_msg=f"grad mismatch at {path}")
 
 
-@pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
-def test_train_stack_pallas_remat(kernel):
+@pytest.mark.parametrize("kernel,windows", [("pallas", 0),
+                                            ("pallas_sg", 0),
+                                            ("pallas", 2)])
+def test_train_stack_pallas_remat(kernel, windows):
     """cfg.remat wraps the chunk kernels in jax.checkpoint without
-    changing values."""
+    changing values — including the time-windowed backward."""
     import dataclasses
     from vqvae_tpu.audio.framing import frame_batch
     from vqvae_tpu.models import forward
     cfg_p = dataclasses.replace(get_config("tiny").model,
-                                decoder_kernel=kernel)
+                                decoder_kernel=kernel,
+                                bwd_time_windows=windows)
     cfg_r = dataclasses.replace(cfg_p, remat=True)
     params = init_model(jax.random.PRNGKey(0), cfg_p)
     rng = np.random.default_rng(1)
