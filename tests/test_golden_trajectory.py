@@ -10,6 +10,7 @@ appears, its first-50-step trajectory slots into the same harness.
 Regenerate (after a *deliberate* semantics change):
     python tests/test_golden_trajectory.py > tests/fixtures/golden_trajectory.json
     python tests/test_golden_trajectory.py chainer > tests/fixtures/golden_trajectory_chainer.json
+    python tests/test_golden_trajectory.py ema > tests/fixtures/golden_trajectory_ema.json
 (the __main__ block forces the same CPU/precision env as conftest).
 Both mu-law binning modes carry a frozen trajectory, so the chainer
 digitize-parity switch is turn-key end to end (SURVEY.md §7 hard-part 3).
@@ -26,11 +27,16 @@ FIXTURES = {
                           "golden_trajectory.json"),
     "chainer": os.path.join(os.path.dirname(__file__), "fixtures",
                             "golden_trajectory_chainer.json"),
+    # the production-recommended VQ config (EMA codebook + dead-code
+    # restart) gets its own frozen trajectory: guards the EMA update,
+    # restart RNG wiring, and loss2-absence semantics across rounds
+    "ema": os.path.join(os.path.dirname(__file__), "fixtures",
+                        "golden_trajectory_ema.json"),
 }
 CHECK_STEPS = (1, 5, 10, 20, 30, 40, 50)
 
 
-def run_trajectory(mulaw_mode="round"):
+def run_trajectory(variant="round"):
     import jax
     import numpy as np
     from vqvae_tpu.audio.datasets import SineDataset
@@ -39,9 +45,11 @@ def run_trajectory(mulaw_mode="round"):
     from vqvae_tpu.train import create_train_state, make_train_step
 
     cfg = get_config("tiny")
+    mkw = {"mulaw_mode": variant} if variant != "ema" else \
+        {"ema": True, "code_restart_threshold": 1e-3}
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, batch_size=8),
-        model=dataclasses.replace(cfg.model, mulaw_mode=mulaw_mode))
+        model=dataclasses.replace(cfg.model, **mkw))
     mesh = make_mesh()  # 8-device DP (DP-invariance is tested elsewhere)
     jit_for, shardings_of = make_train_step(cfg, mesh)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
@@ -64,7 +72,7 @@ def run_trajectory(mulaw_mode="round"):
     return out
 
 
-@pytest.mark.parametrize("mode", ["round", "chainer"])
+@pytest.mark.parametrize("mode", ["round", "chainer", "ema"])
 def test_golden_training_trajectory(mode):
     import numpy as np
     with open(FIXTURES[mode]) as f:

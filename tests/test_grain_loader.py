@@ -62,3 +62,37 @@ def test_make_loader_factory():
         ld.close()
     with pytest.raises(ValueError):
         make_loader("nope", ds, 2)
+
+
+def test_resume_across_loader_kinds(tmp_path):
+    """The two host pipelines are interchangeable MID-TRAINING: a run
+    checkpointed under the thread loader and resumed under grain
+    reproduces the straight thread-loader run exactly (batch i is the
+    same pure function of (seed, i) in both)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from vqvae_tpu.audio.datasets import SineDataset
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.train import train
+
+    def cfg_for(loader, steps):
+        cfg = get_config("tiny")
+        return cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=8, num_steps=steps, log_every=10,
+            checkpoint_every=2, loader=loader))
+
+    ds = SineDataset(cfg_for("threads", 4).data)
+    straight = train(cfg_for("threads", 4), ds,
+                     out_dir=str(tmp_path / "a"), echo=False)
+    train(cfg_for("threads", 2), ds, out_dir=str(tmp_path / "b"),
+          echo=False)
+    resumed = train(cfg_for("grain", 4), ds,
+                    out_dir=str(tmp_path / "b"), resume=True,
+                    echo=False)
+    for la, lb in zip(
+            jax.tree_util.tree_leaves(jax.device_get(straight.params)),
+            jax.tree_util.tree_leaves(jax.device_get(resumed.params))):
+        np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)

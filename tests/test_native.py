@@ -96,3 +96,45 @@ def test_native_bad_file(tmp_path):
     open(p, "wb").write(b"not a wav file at all, definitely not")
     with pytest.raises(ValueError):
         nat.load_wav(p)
+
+
+def test_native_decoder_rejects_malformed_files(tmp_path):
+    """Production-robustness: malformed inputs come back as clean error
+    codes (ValueError via the bindings), never a crash or garbage
+    buffer."""
+    import struct
+
+    def attempt(name, payload):
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(payload)
+        try:
+            nat.load_wav(p)
+            return None
+        except ValueError as e:
+            return str(e)
+
+    # too short / not RIFF / truncated header
+    assert attempt("short.wav", b"RIFF") is not None
+    assert attempt("garbage.wav", bytes(range(100)) * 2) is not None
+    # RIFF/WAVE but no fmt/data chunks
+    assert attempt("empty.wav",
+                   b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                   + b"\x00" * 64) is not None
+    # compressed format tag (2 = ADPCM) -> unsupported, not garbage
+    fmt = struct.pack("<HHIIHH", 2, 1, 16000, 16000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    assert attempt("adpcm.wav",
+                   b"RIFF" + struct.pack("<I", len(body)) + body) \
+        is not None
+    # data chunk longer than the file: decodes the clamped prefix
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 1 << 20) + b"\x00" * 64)
+    p = str(tmp_path / "trunc.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    wav, sr = nat.load_wav(p)
+    assert sr == 16000 and len(wav) == 32
+    assert np.all(np.isfinite(wav))
