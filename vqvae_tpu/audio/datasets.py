@@ -108,7 +108,10 @@ class SineDataset:
         self.f0 = f0
 
     def __len__(self) -> int:
-        return 1 << 30
+        # nominal epoch for deterministic evaluation (train sampling is
+        # IID and never consults len) — a synthetic set has no real
+        # "full split", so keep the eval pass bounded and meaningful
+        return 256
 
     def sample(self, rng: np.random.Generator) -> Tuple[np.ndarray, int]:
         need = self.cfg.length + 1

@@ -62,15 +62,16 @@ def main() -> None:
     import jax
 
     from vqvae_tpu.parallel.mesh import make_mesh, param_shardings
-    from vqvae_tpu.train.evaluator import Evaluator, eval_windows
+    from vqvae_tpu.train.evaluator import Evaluator
 
     mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model,
                      cfg.train.mesh_slices, cfg.train.mesh_seq)
     # place params on the mesh (channel/codebook-sharded if model>1,
     # replicated otherwise) — load_params leaves them on one device
     params = jax.device_put(params, param_shardings(mesh, params))
-    n_windows = len(eval_windows(ds, cfg)[0])
-    metrics = Evaluator(ds, cfg, mesh)(params)
+    evaluator = Evaluator(ds, cfg, mesh)
+    metrics = evaluator(params)
+    n_windows = evaluator.n_windows
     rec = {"split": args.split, "windows": n_windows,
            **{k: round(float(v), 6) for k, v in metrics.items()}}
     if args.json:

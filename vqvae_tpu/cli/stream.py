@@ -62,6 +62,9 @@ def main() -> None:
 
     sr = cfg.data.sr
     n_frames = codes.shape[1]
+    if n_frames == 0:
+        raise SystemExit("input contains no code frames (wav shorter "
+                         "than one hop, or empty codes file)")
     C = max(1, args.chunk_frames)
     lens = [C] * (n_frames // C)
     if n_frames % C:

@@ -73,6 +73,16 @@ def forward(params: Dict, cfg: ModelConfig, batch: Batch,
         from vqvae_tpu.parallel.sp_decoder import apply_decoder_sp
         bax = tuple(a for a in ("slice", "data")
                     if a in mesh.axis_names)
+        if mesh.shape.get("model", 1) > 1:
+            # the SP body declares decoder weights replicated: with an
+            # active 'model' axis the channel-sharded weights are
+            # gathered and the decoder compute runs redundantly per
+            # model shard (numerically correct — pinned in CI — but
+            # the TP benefit covers only encoder/VQ/head). seq is the
+            # long-audio memory axis; prefer it WITHOUT large TP.
+            print("vqvae_tpu: note: mesh_seq>1 with mesh_model>1 — "
+                  "decoder weights are replicated across 'model' "
+                  "inside the sequence-parallel stack")
         logits = apply_decoder_sp(params, cfg, batch.ids_in,
                                   cond, batch.speaker, mesh,
                                   axis="seq", batch_axes=bax)

@@ -17,7 +17,10 @@ import numpy as np
 from vqvae_tpu.configs import Config
 
 # ceiling on deterministic eval windows when eval_batches == 0 asks for
-# the full split (guards synthetic datasets that report a huge __len__)
+# the full split (a [n, length+1] float32 stack is held for the run:
+# 16384 windows ~ 500 MB at flagship length — the cap bounds both that
+# and the per-eval batch count; synthetic datasets additionally expose
+# a small nominal __len__ so they never get near it)
 MAX_EVAL_WINDOWS = 16384
 
 
@@ -54,6 +57,13 @@ class Evaluator:
         self._dataset = dataset
         self._windows = None      # built lazily (decodes the split once)
         self._mesh = mesh
+
+    @property
+    def n_windows(self) -> int:
+        """Size of the fixed eval set (builds it on first access)."""
+        if self._windows is None:
+            self._windows = eval_windows(self._dataset, self.cfg)
+        return len(self._windows[0])
 
     def __call__(self, params) -> dict:
         import jax
