@@ -414,7 +414,13 @@ def _chunk_fwd_call(dils, interpret, save_gates,
     # with explicit make_async_copy DMAs was measured SLOWER at every
     # batch — 41.8 vs 39.1 ms at B=32 — the pipeline's own windowed
     # copies overlap across programs better; see docs/PERF.md.)
-    G = _group_of(B, 1 if save_gates else 2)
+    # VQVAE_FWD_WANT_G: experiment knob. G=4 is VMEM-INFEASIBLE at the
+    # flagship T=7680 (measured: 183M > 128M — the double-buffered
+    # [G,T,S] skips window alone is 30M at G=4), so G=2 is the
+    # largest feasible forward group, not merely the chosen one.
+    import os
+    G = _group_of(B, 1 if save_gates else
+                  int(os.environ.get("VQVAE_FWD_WANT_G", "2")))
     out_specs = [_group_spec(G, T, R), _group_spec(G, T, S)]
     out_shape = [jax.ShapeDtypeStruct((B, T, R), h.dtype),
                  jax.ShapeDtypeStruct((B, T, S), h.dtype)]
