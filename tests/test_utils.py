@@ -16,6 +16,21 @@ def test_step_timer():
     assert r is not None and 10 < r < 1000  # compile step not in EMA
 
 
+def test_step_timer_interval():
+    # tick(n) divides the interval over n steps: a 2x-longer gap
+    # covering 2 steps must report the same per-step rate
+    t = StepTimer(alpha=1.0)
+    t.tick()
+    time.sleep(0.05)
+    t.tick()                 # discarded compile interval
+    time.sleep(0.02)
+    r1 = t.tick()
+    time.sleep(0.04)
+    r2 = t.tick(2)
+    assert r1 is not None and r2 is not None
+    assert abs(r1 - r2) / r1 < 0.5
+
+
 def test_profile_trace(tmp_path):
     import jax
     import jax.numpy as jnp

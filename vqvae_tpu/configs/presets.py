@@ -215,9 +215,11 @@ def _fastgen() -> Config:
 def _stretch() -> Config:
     """BASELINE configs[4]: EMA codebook + 30-layer WaveNet + batch 64."""
     # pallas decoder kernels: 2.6x over the XLA loop at B=64
-    # (84 vs 222 ms/step on one v5e core — docs/PERF.md)
+    # (84 vs 222 ms/step on one v5e core); the save-gates backward is
+    # the measured-best variant at B>=32 (76.4 vs 80.0 ms at B=64 —
+    # docs/PERF.md "Save-gates backward"), so this B=64 preset uses it
     model = ModelConfig(ema=True, code_restart_threshold=1e-3,
-                        decoder_kernel="pallas")
+                        decoder_kernel="pallas_sg")
     train = TrainConfig(batch_size=64, eval_every=1000)
     return Config(model=model, train=train, name="stretch")
 

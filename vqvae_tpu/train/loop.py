@@ -88,6 +88,7 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     prof = cfg.train.profile_steps
     prof_ctx = None
     timer = StepTimer()
+    timed_to = start          # last step covered by a timer interval
     try:
         metrics = None
         for step in range(start, num_steps):
@@ -97,7 +98,6 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
             wav, spk = next(loader)
             wav, spk = put_global_batch(bshard, wav[hsl], spk[hsl])
             state, metrics = step_fn(state, wav, spk)
-            sps = timer.tick()
             if prof and step == start + 10 + prof - 1:
                 jax.device_get(metrics["loss"])
                 prof_ctx.__exit__(None, None, None)
@@ -110,6 +110,11 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
                        and (step + 1) % cfg.train.eval_every == 0)
             if do_log or do_eval:
                 rec = dict(jax.device_get(metrics))
+                # the device_get above is a sync point, so the timer
+                # interval measures real device throughput, not the
+                # host's async enqueue rate (utils/profiling.py)
+                sps = timer.tick(step + 1 - timed_to)
+                timed_to = step + 1
                 if sps is not None:
                     rec["steps_per_sec"] = sps
                 if do_eval:

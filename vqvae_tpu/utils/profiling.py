@@ -27,25 +27,35 @@ def profile_trace(log_dir: str):
 
 
 class StepTimer:
-    def __init__(self, alpha: float = 0.1):
+    """Smoothed steps/sec over HOST-SYNCHRONIZED intervals.
+
+    Call ``tick(n)`` only at points where the device has provably
+    caught up (e.g. right after a ``device_get`` of the step's
+    metrics), passing the number of steps since the previous tick.
+    Ticking every step without a sync would measure the host's
+    ENQUEUE rate — jit dispatch is asynchronous, so that number can
+    run several-fold above real device throughput.
+    """
+
+    def __init__(self, alpha: float = 0.5):
         self.alpha = alpha
-        self.ema = None
+        self.ema = None          # smoothed seconds per step
         self._last = None
         self._ticks = 0
 
-    def tick(self) -> float | None:
-        """Call once per step; returns smoothed steps/sec (None until a
-        steady-state interval exists). The FIRST interval is discarded:
-        it contains jit compilation, which would poison the EMA for
-        dozens of steps."""
+    def tick(self, n: int = 1) -> float | None:
+        """Record an ``n``-step synchronized interval; returns smoothed
+        steps/sec (None until a steady-state interval exists). The
+        FIRST interval is discarded: it contains jit compilation,
+        which would poison the EMA for many intervals."""
         now = time.perf_counter()
         self._ticks += 1
         if self._last is None:
             self._last = now
             return None
-        dt = now - self._last
+        dt = (now - self._last) / max(1, n)
         self._last = now
-        if self._ticks == 2:        # interval over the compile step
+        if self._ticks == 2:        # interval containing the compile
             return None
         self.ema = dt if self.ema is None else \
             (1 - self.alpha) * self.ema + self.alpha * dt
