@@ -50,6 +50,41 @@ def test_cli_generate(trained_run, tmp_path, monkeypatch):
     assert np.all(np.isfinite(w))
 
 
+def test_cli_generate_batched_multi_file(trained_run, tmp_path,
+                                         monkeypatch):
+    """Several -i inputs run as ONE batched decode: per-file outputs
+    are trimmed to their own (hop-multiple) lengths, and the longest
+    file — whose row carries no padding — reconstructs exactly as it
+    does alone (exact on CPU, where batch size doesn't change XLA
+    tiling; on TPU batch-dependent tiling can flip greedy argmax
+    ties)."""
+    import os
+    sr = 16000
+    paths, lens = [], [800, 512]
+    for i, (n, f) in enumerate(zip(lens, (330, 220))):
+        t = np.arange(n) / sr
+        p = str(tmp_path / f"in{i}.wav")
+        save_wav(p, (0.5 * np.sin(2 * np.pi * f * t)
+                     ).astype(np.float32), sr)
+        paths.append(p)
+
+    from vqvae_tpu.cli.generate import main
+    outdir = str(tmp_path / "multi")
+    _run(main, ["--preset", "tiny", "-i"] + paths +
+         ["-o", outdir, "-m", trained_run, "-s", "1", "2",
+          "--no-trim", "--greedy"], monkeypatch)
+    w0 = load_wav(os.path.join(outdir, "in0_gen.wav"), sr)
+    w1 = load_wav(os.path.join(outdir, "in1_gen.wav"), sr)
+    assert len(w0) == 768 and len(w1) == 512  # hop-multiple trims
+    assert np.all(np.isfinite(w0)) and np.all(np.isfinite(w1))
+
+    solo = str(tmp_path / "solo.wav")
+    _run(main, ["--preset", "tiny", "-i", paths[0], "-o", solo,
+                "-m", trained_run, "-s", "1", "--no-trim", "--greedy"],
+         monkeypatch)
+    np.testing.assert_array_equal(w0, load_wav(solo, sr))
+
+
 def test_cli_encode_decode(trained_run, tmp_path, monkeypatch):
     sr = 16000
     t = np.arange(800) / sr
