@@ -106,6 +106,44 @@ def test_cli_encode_decode(trained_run, tmp_path, monkeypatch):
     assert len(w) == 768 and np.all(np.isfinite(w))
 
 
+def test_cli_decode_batched_and_mesh(trained_run, tmp_path, monkeypatch):
+    """2-D codes decode as ONE batch to a directory; each row equals
+    its solo 1-D decode (greedy — sampled draws are batch-shape-
+    dependent by jax.random design), and --mesh-data 2 produces
+    bit-identical files (same program, SPMD over the virtual mesh)."""
+    import os
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 128, (4, 10)).astype(np.int32)
+    cpath = str(tmp_path / "cb.npy")
+    np.save(cpath, codes)
+    from vqvae_tpu.cli.decode import main as dec
+
+    outdir = str(tmp_path / "batch")
+    _run(dec, ["--preset", "tiny", "-i", cpath, "-o", outdir,
+               "-m", trained_run, "-s", "0", "1", "2", "3",
+               "--greedy"], monkeypatch)
+    rows = [load_wav(os.path.join(outdir, f"cb_{i:03d}.wav"), 16000)
+            for i in range(4)]
+    assert all(len(r) == 640 for r in rows)
+
+    # row 2 == its solo decode (same speaker id)
+    solo_c = str(tmp_path / "c2.npy")
+    np.save(solo_c, codes[2])
+    solo = str(tmp_path / "solo2.wav")
+    _run(dec, ["--preset", "tiny", "-i", solo_c, "-o", solo,
+               "-m", trained_run, "-s", "2", "--greedy"], monkeypatch)
+    np.testing.assert_array_equal(rows[2], load_wav(solo, 16000))
+
+    meshdir = str(tmp_path / "mesh")
+    _run(dec, ["--preset", "tiny", "-i", cpath, "-o", meshdir,
+               "-m", trained_run, "-s", "0", "1", "2", "3",
+               "--greedy", "--mesh-data", "2"], monkeypatch)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            rows[i],
+            load_wav(os.path.join(meshdir, f"cb_{i:03d}.wav"), 16000))
+
+
 def test_cli_decode_gen_impl_lowmem(trained_run, tmp_path, monkeypatch):
     """--gen-impl lowmem (the engine bench.py ships) through the user
     CLI must produce exactly the default engine's greedy output."""
