@@ -106,6 +106,43 @@ def test_cli_encode_decode(trained_run, tmp_path, monkeypatch):
     assert len(w) == 768 and np.all(np.isfinite(w))
 
 
+def test_cli_encode_multi_and_stack(trained_run, tmp_path, monkeypatch):
+    """Several -i inputs: per-file .npy files in a directory, and
+    --stack produces the [B, T_lat] array vqvae-decode's batched path
+    consumes — each row identical to that file's solo encode."""
+    import os
+    sr = 16000
+    paths = []
+    for i, f in enumerate((330, 220)):
+        t = np.arange(800) / sr
+        pth = str(tmp_path / f"e{i}.wav")
+        save_wav(pth, (0.5 * np.sin(2 * np.pi * f * t)
+                       ).astype(np.float32), sr)
+        paths.append(pth)
+    from vqvae_tpu.cli.encode import main as enc
+
+    outdir = str(tmp_path / "codes")
+    _run(enc, ["--preset", "tiny", "-i"] + paths +
+         ["-o", outdir, "-m", trained_run, "--no-trim"], monkeypatch)
+    per_file = [np.load(os.path.join(outdir, f"e{i}.npy"))
+                for i in range(2)]
+    assert all(c.shape == (12,) for c in per_file)
+
+    stacked = str(tmp_path / "stack.npy")
+    _run(enc, ["--preset", "tiny", "-i"] + paths +
+         ["-o", stacked, "-m", trained_run, "--no-trim", "--stack"],
+         monkeypatch)
+    s = np.load(stacked)
+    assert s.shape == (2, 12)
+    for i in range(2):
+        np.testing.assert_array_equal(s[i], per_file[i])
+
+    solo = str(tmp_path / "solo.npy")
+    _run(enc, ["--preset", "tiny", "-i", paths[1], "-o", solo,
+               "-m", trained_run, "--no-trim"], monkeypatch)
+    np.testing.assert_array_equal(np.load(solo), per_file[1])
+
+
 def test_cli_decode_batched_and_mesh(trained_run, tmp_path, monkeypatch):
     """2-D codes decode as ONE batch to a directory; each row equals
     its solo 1-D decode (greedy — sampled draws are batch-shape-
