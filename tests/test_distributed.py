@@ -73,16 +73,16 @@ def _run_worker(env, timeout=600):
     raise AssertionError((proc.stdout, proc.stderr))
 
 
-def test_two_process_localhost_matches_single():
+def test_two_process_localhost_matches_single(tmp_path):
     """The real multi-controller path (SURVEY.md §2.3 elastic row):
     two CPU processes x 4 virtual devices wired into ONE 8-device mesh
-    via jax.distributed.initialize over localhost, each host feeding
-    only its local_batch_slice rows through the
-    make_array_from_process_local_data branch of put_global_batch.
-    Two train steps must match a single-process 8-device run."""
+    via jax.distributed.initialize over localhost, each running the
+    REAL ``train()`` loop against a SHARED run directory (as on a pod
+    filesystem) — per-host local_batch_slice feeding through the
+    make_array_from_process_local_data branch, process-0-only logging,
+    collective orbax checkpointing. Two train steps must match a
+    single-process 8-device run."""
     import socket
-    import subprocess
-    import sys
     from concurrent.futures import ThreadPoolExecutor
 
     with socket.socket() as s:
@@ -93,26 +93,36 @@ def test_two_process_localhost_matches_single():
              "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
     # single-process reference: same 8 devices in one process
     ref = _run_worker(dict(
-        steps, XLA_FLAGS="--xla_force_host_platform_device_count=8"))
+        steps, XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        VQVAE_WORKER_OUT=str(tmp_path / "ref")))
     assert ref["process_count"] == 1 and ref["step"] == 2
+
+    shared_out = str(tmp_path / "multi")  # ONE dir for both processes
 
     def spawn(pid):
         return _run_worker(dict(
             steps,
             JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
             JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(pid)))
+            JAX_PROCESS_ID=str(pid),
+            VQVAE_WORKER_OUT=shared_out))
 
     with ThreadPoolExecutor(2) as ex:
         r0, r1 = list(ex.map(spawn, [0, 1]))
+    if r0["process_id"] == 1:
+        r0, r1 = r1, r0
 
     for r in (r0, r1):
         assert r["process_count"] == 2 and r["step"] == 2
     # both controllers observe the identical replicated result
-    assert r0["loss"] == r1["loss"]
     assert r0["codebook_sum"] == r1["codebook_sum"]
+    assert "loss" not in r1          # logging is process-0-only
     # and it matches the single-process run to float tolerance
     np.testing.assert_allclose(r0["loss"], ref["loss"], rtol=1e-5)
     np.testing.assert_allclose(r0["loss1"], ref["loss1"], rtol=1e-5)
     np.testing.assert_allclose(r0["codebook_sum"], ref["codebook_sum"],
                                rtol=1e-5)
+    # the shared run dir holds one coherent set of artifacts
+    import os
+    assert os.path.exists(os.path.join(shared_out, "log.jsonl"))
+    assert os.path.isdir(os.path.join(shared_out, "checkpoints"))

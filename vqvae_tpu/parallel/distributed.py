@@ -74,6 +74,29 @@ def initialize_from_env() -> bool:
     return False
 
 
+def warmup_collectives(mesh) -> None:
+    """Establish the cross-process collective context (Gloo TCP pairs
+    on CPU, equivalent channel setup elsewhere) while all processes
+    are still in lockstep, right after mesh construction.
+
+    Without this the context is first created when the train step
+    dispatches its first psum — and per-host compile-cache hits/misses
+    can skew processes past the 30s connect timeout (observed:
+    ``Gloo context initialization failed: DEADLINE_EXCEEDED``). A
+    trivial all-reduce here costs milliseconds and removes the race.
+    No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from vqvae_tpu.parallel.mesh import batch_sharding, replicated
+    n = len(mesh.devices.flat)
+    ones = np.ones((n,), np.float32)
+    warm = jax.jit(lambda x: x.sum(), out_shardings=replicated(mesh))(
+        put_global_batch(batch_sharding(mesh),
+                         ones[local_batch_slice(n)]))
+    assert float(warm) == n, warm
+
+
 def local_batch_slice(global_batch: int,
                       process_index: int | None = None,
                       process_count: int | None = None) -> slice:

@@ -48,9 +48,21 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
         save_config(cfg, out_dir)
 
     jit_step_for, state_shardings = make_train_step(cfg, mesh, impl)
-    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
-    shardings = state_shardings(state)
-    state = jax.device_put(state, shardings)
+    init = lambda: create_train_state(  # noqa: E731
+        jax.random.PRNGKey(cfg.train.seed), cfg)
+    if jax.process_count() > 1:
+        # multi-controller: establish the cross-process collective
+        # context while all hosts are in lockstep, and create the
+        # state ON device under the global sharding (a host-side
+        # device_put of non-addressable shards is not portable)
+        from vqvae_tpu.parallel.distributed import warmup_collectives
+        warmup_collectives(mesh)
+        shardings = state_shardings(jax.eval_shape(init))
+        state = jax.jit(init, out_shardings=shardings)()
+    else:
+        state = init()
+        shardings = state_shardings(state)
+        state = jax.device_put(state, shardings)
     step_fn = jit_step_for(shardings)
 
     start = 0
@@ -73,8 +85,11 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
     loader = make_loader(cfg.train.loader, dataset,
                          cfg.train.batch_size, seed=cfg.train.seed,
                          start_batch=start)
-    logger = MetricsLogger(out_dir,
-                           tensorboard=cfg.train.tensorboard)
+    # metrics/plots are written by process 0 only (on a pod every host
+    # runs this loop; checkpointing below stays collective — orbax
+    # requires all processes to participate)
+    logger = (MetricsLogger(out_dir, tensorboard=cfg.train.tensorboard)
+              if jax.process_index() == 0 else None)
     bshard = batch_sharding(mesh)
     # multi-host: every host sees the same (seed, index) stream and
     # device-puts only its own rows (parallel/distributed.py);
@@ -109,25 +124,31 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
             do_eval = (evaluator is not None
                        and (step + 1) % cfg.train.eval_every == 0)
             if do_log or do_eval:
-                rec = dict(jax.device_get(metrics))
-                # the device_get above is a sync point, so the timer
-                # interval measures real device throughput, not the
-                # host's async enqueue rate (utils/profiling.py)
-                sps = timer.tick(step + 1 - timed_to)
-                timed_to = step + 1
-                if sps is not None:
-                    rec["steps_per_sec"] = sps
-                if do_eval:
-                    rec.update(evaluator(state.params))
-                logger.log(step + 1, rec, echo)
+                # the eval step is collective — every process runs it
+                ev = evaluator(state.params) if do_eval else None
+                if logger is not None:
+                    rec = dict(jax.device_get(metrics))
+                    # the device_get above is a sync point, so the
+                    # timer interval measures real device throughput,
+                    # not the host's async enqueue rate
+                    # (utils/profiling.py)
+                    sps = timer.tick(step + 1 - timed_to)
+                    timed_to = step + 1
+                    if sps is not None:
+                        rec["steps_per_sec"] = sps
+                    if ev is not None:
+                        rec.update(ev)
+                    logger.log(step + 1, rec, echo)
             if (step + 1) % cfg.train.checkpoint_every == 0:
                 save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
         if num_steps > start and (num_steps % cfg.train.checkpoint_every):
             save_checkpoint(ckpt_dir, state, cfg.train.keep_checkpoints)
-        logger.plot()
+        if logger is not None:
+            logger.plot()
     finally:
         if prof_ctx is not None:
             prof_ctx.__exit__(None, None, None)
         loader.close()
-        logger.close()
+        if logger is not None:
+            logger.close()
     return state
