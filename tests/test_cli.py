@@ -298,6 +298,30 @@ def test_cli_stream_wav_input(trained_run, tmp_path, monkeypatch):
     assert len(w) == 768 and np.all(np.isfinite(w))
 
 
+def test_cli_stream_live_encode_matches(trained_run, tmp_path,
+                                        monkeypatch):
+    """--encode-chunk (live full-duplex: streaming encode feeding the
+    streaming decoder) produces the SAME wav as the one-shot-encode
+    stream path — the StreamingEncoder exactness contract surfaced at
+    the CLI."""
+    sr = 16000
+    t = np.arange(1000) / sr
+    wav_in = str(tmp_path / "live_in.wav")
+    save_wav(wav_in, (0.5 * np.sin(2 * np.pi * 330 * t)
+                      ).astype(np.float32), sr)
+    from vqvae_tpu.cli.stream import main as stream
+
+    one = str(tmp_path / "oneshot.wav")
+    _run(stream, ["-i", wav_in, "-o", one, "-m", trained_run,
+                  "--chunk-frames", "4", "--seed", "9"], monkeypatch)
+    live = str(tmp_path / "live.wav")
+    _run(stream, ["-i", wav_in, "-o", live, "-m", trained_run,
+                  "--chunk-frames", "4", "--seed", "9",
+                  "--encode-chunk", "160"], monkeypatch)
+    np.testing.assert_array_equal(load_wav(one, sr),
+                                  load_wav(live, sr))
+
+
 def test_cli_mulaw_mode_chainer_end_to_end(tmp_path, monkeypatch):
     """--mulaw-mode chainer is turn-key: the train CLI records it in
     config.json, and decode-side CLIs that auto-load the run config

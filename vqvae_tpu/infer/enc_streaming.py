@@ -1,0 +1,138 @@
+"""Streaming (chunked) encoding — the live half of a full-duplex codec.
+
+The reference encodes whole utterances only (``generate.py`` preprocesses
+the complete file — SURVEY.md §3.2); its streaming story covers decode
+alone (the fast-gen queues).  On TPU the encoder is a handful of strided
+matmuls, so the interesting problem isn't throughput but *exactness
+under chunking*: a live encoder must emit the same code ids the one-shot
+encoder would, no matter how the audio is sliced.
+
+The SAME-padded stride-``s`` kernel-``k`` stack gives latent frame ``n``
+a finite support ``[n*hop - A, n*hop + B]`` computed exactly from the
+layer geometry (``_support``): per layer an output range ``[lo, hi]``
+reads inputs ``[lo*s - pad, hi*s + (k-1) - pad]`` with
+``pad = (k - s)//2``.  ``StreamingEncoder`` buffers just enough context
+(A on the left, carried; B lookahead on the right, awaited) and
+re-encodes a frame-aligned window per push — window-edge padding cannot
+reach an emitted frame's support, so emission is bit-exact vs the
+one-shot path (tests/test_enc_streaming.py).  Frames are additionally
+held back until their support lies inside *completed* hop-multiples, so
+a stream ending mid-frame drops exactly the samples the one-shot
+encoder's hop-trim drops.
+
+Device memory is O(window); host buffer is O(A + push + B) samples —
+both constant in stream length.  The latency floor is ``lookahead``
+samples (B ≈ 2*hop for the k=4 s=2 stack): a frame cannot finalize
+before its future support arrives.  This mirrors the mu-law round-trip
+the training/generation input path applies (elementwise, so it chunks
+exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+from vqvae_tpu.configs import ModelConfig
+from vqvae_tpu.infer.fastgen import encode_to_codes
+
+
+def _support(cfg: ModelConfig) -> Tuple[int, int]:
+    """(A, B): latent frame n depends on samples [n*hop - A, n*hop + B]."""
+    s, k = cfg.enc_stride, cfg.enc_kernel
+    pad = (k - s) // 2
+    lo = hi = 0
+    for _ in range(cfg.enc_layers):
+        lo = lo * s - pad
+        hi = hi * s + (k - 1) - pad
+    return -lo, hi
+
+
+class StreamingEncoder:
+    """Push waveform chunks ``[B, n]``, pull code ids ``[B, m]`` that
+    are bit-identical to the one-shot encode of the whole stream.
+
+    >>> enc = StreamingEncoder(params, cfg)
+    >>> pieces = [enc.push(chunk) for chunk in chunks]
+    >>> pieces.append(enc.flush())
+    >>> np.concatenate(pieces, axis=1)  # == one-shot codes
+    """
+
+    def __init__(self, params: Dict, cfg: ModelConfig):
+        self.params, self.cfg = params, cfg
+        self.A, self.B = _support(cfg)
+        H = cfg.hop
+        # left context carried between pushes, in whole frames
+        self.ctx_frames = -(-self.A // H)
+        self.buf: np.ndarray | None = None   # [B, T_buf] float32
+        self.buf_start = 0                   # abs index of buf[:, 0]
+        self.total = 0                       # abs samples pushed
+        self.emitted = 0                     # latent frames emitted
+
+    @property
+    def lookahead(self) -> int:
+        """Samples of future audio a frame waits for before emission."""
+        return self.B
+
+    def push(self, samples) -> np.ndarray:
+        """Append ``[B, n]`` samples; return newly final ``[B, m]`` ids
+        (m may be 0 while the lookahead fills)."""
+        chunk = np.atleast_2d(np.asarray(samples, np.float32))
+        # the training/generation input distribution: mu-law round-trip
+        # (elementwise — chunking-exact)
+        chunk = np.asarray(mu_law_decode(
+            mu_law_encode(jnp.asarray(chunk), self.cfg.mu,
+                          self.cfg.mulaw_mode),
+            self.cfg.mu, mode=self.cfg.mulaw_mode), np.float32)
+        self.buf = (chunk if self.buf is None
+                    else np.concatenate([self.buf, chunk], axis=1))
+        self.total += chunk.shape[1]
+        H = self.cfg.hop
+        # only completed hop-multiples count: a trailing partial frame
+        # must never influence emitted codes (one-shot trims it)
+        usable = (self.total // H) * H
+        n_avail = (usable - 1 - self.B) // H + 1 if usable > self.B else 0
+        if n_avail <= self.emitted:
+            return np.zeros((self.buf.shape[0], 0), np.int32)
+        return self._encode(self.emitted, n_avail, usable)
+
+    def flush(self) -> np.ndarray:
+        """Emit the held-back tail frames (right support = zeros, the
+        one-shot SAME padding); the encoder then resets for reuse."""
+        H = self.cfg.hop
+        n_total = (self.total // H * H) // H
+        if self.buf is None or n_total <= self.emitted:
+            out = np.zeros((1 if self.buf is None
+                            else self.buf.shape[0], 0), np.int32)
+        else:
+            out = self._encode(self.emitted, n_total,
+                               self.total // H * H)
+        self.buf, self.buf_start, self.total, self.emitted = \
+            None, 0, 0, 0
+        return out
+
+    def _encode(self, n0: int, n1: int, usable: int) -> np.ndarray:
+        """Encode a frame-aligned window covering frames [n0, n1)."""
+        H = self.cfg.hop
+        w_start = max(0, n0 - self.ctx_frames) * H
+        w_end = -(-((n1 - 1) * H + self.B + 1) // H) * H
+        window = np.zeros((self.buf.shape[0], w_end - w_start),
+                          np.float32)
+        # real samples only up to `usable`; beyond is zero (== the
+        # one-shot right padding at flush; unread during push)
+        seg = self.buf[:, w_start - self.buf_start:
+                       min(usable, w_end) - self.buf_start]
+        window[:, :seg.shape[1]] = seg
+        codes = np.asarray(encode_to_codes(
+            self.params, self.cfg, jnp.asarray(window)), np.int32)
+        f0 = w_start // H
+        out = codes[:, n0 - f0:n1 - f0]
+        self.emitted = n1
+        keep = max(0, n1 - self.ctx_frames) * H
+        if keep > self.buf_start:
+            self.buf = self.buf[:, keep - self.buf_start:]
+            self.buf_start = keep
+        return out
