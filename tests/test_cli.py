@@ -349,6 +349,29 @@ def test_cli_mulaw_mode_chainer_end_to_end(tmp_path, monkeypatch):
     assert resolve_config(ns2).model.mulaw_mode == "chainer"
 
 
+def test_cli_set_overrides():
+    """--set section.field=value: typed override of ANY config field
+    (the generic surface for knobs like train.codebook_lr_mult that
+    have no dedicated flag)."""
+    import argparse
+    from vqvae_tpu.cli.common import resolve_config
+
+    def ns(overrides):
+        return argparse.Namespace(preset="tiny", model=None,
+                                  mulaw_mode=None,
+                                  set_overrides=overrides)
+
+    cfg = resolve_config(ns(["train.codebook_lr_mult=20",
+                             "model.ema=true", "data.sr=22050"]))
+    assert cfg.train.codebook_lr_mult == 20.0
+    assert cfg.model.ema is True
+    assert cfg.data.sr == 22050
+    for bad in (["train.nope=1"], ["oops"], ["vq.K=8"],
+                ["data.sr=fast"], ["model.ema=maybe"]):
+        with pytest.raises(SystemExit):
+            resolve_config(ns(bad))
+
+
 def test_cli_score_deterministic_and_sp(trained_run, tmp_path,
                                         monkeypatch, capsys):
     """vqvae-score: deterministic split scoring from a checkpoint, and

@@ -25,6 +25,51 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
                    help="mu-law binning: 'round' (TPU-native default) "
                         "or 'chainer' (the reference's digitize-style "
                         "bins, for bit-comparable loss curves)")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE", dest="set_overrides",
+                   help="typed override of any config field, e.g. "
+                        "--set train.codebook_lr_mult=20 "
+                        "--set model.ema=true (repeatable; applied "
+                        "after --preset/config.json resolution)")
+
+
+def _parse_override(cfg: Config, spec: str) -> Config:
+    """Apply one ``section.field=value`` override, casting ``value``
+    via the dataclass field's declared type."""
+    import dataclasses
+    try:
+        key, raw = spec.split("=", 1)
+        section, field = key.split(".", 1)
+    except ValueError:
+        raise SystemExit(
+            f"--set expects SECTION.FIELD=VALUE, got {spec!r}")
+    if section not in ("data", "model", "train"):
+        raise SystemExit(
+            f"--set: unknown section {section!r} (data/model/train)")
+    sub = getattr(cfg, section)
+    fields = {f.name: f for f in dataclasses.fields(sub)}
+    if field not in fields:
+        raise SystemExit(
+            f"--set: no field {field!r} in {section} config "
+            f"(have: {', '.join(sorted(fields))})")
+    cur = getattr(sub, field)
+    base = type(cur) if cur is not None else str
+    if base is bool:
+        if raw.lower() not in ("true", "false", "1", "0"):
+            raise SystemExit(f"--set: {key} expects a bool, "
+                             f"got {raw!r}")
+        val = raw.lower() in ("true", "1")
+    elif base in (int, float, str):
+        try:
+            val = base(raw)
+        except ValueError:
+            raise SystemExit(f"--set: {key} expects {base.__name__}, "
+                             f"got {raw!r}")
+    else:
+        raise SystemExit(
+            f"--set: field {key} has unsupported type {base.__name__}")
+    return cfg.replace(**{section: dataclasses.replace(
+        sub, **{field: val})})
 
 
 def resolve_config(args) -> Config:
@@ -48,6 +93,8 @@ def resolve_config(args) -> Config:
         import dataclasses
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, mulaw_mode=args.mulaw_mode))
+    for spec in getattr(args, "set_overrides", []) or []:
+        cfg = _parse_override(cfg, spec)
     return cfg
 
 
