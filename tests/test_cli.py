@@ -349,6 +349,28 @@ def test_cli_mulaw_mode_chainer_end_to_end(tmp_path, monkeypatch):
     assert resolve_config(ns2).model.mulaw_mode == "chainer"
 
 
+def test_cli_export_then_decode_from_npz(trained_run, tmp_path,
+                                         monkeypatch):
+    """vqvae-export writes the weights-only deployment .npz, and a
+    decode from it matches the checkpoint decode exactly (the
+    reference's snapshot_object -> generate.py flow)."""
+    npz = str(tmp_path / "w.npz")
+    from vqvae_tpu.cli.export import main as export
+    _run(export, ["--preset", "tiny", "-m", trained_run, "-o", npz],
+         monkeypatch)
+
+    codes = str(tmp_path / "c.npy")
+    np.save(codes, (np.arange(10) % 32).astype(np.int32))
+    from vqvae_tpu.cli.decode import main as dec
+    outs = {}
+    for name, model in (("ckpt", trained_run), ("npz", npz)):
+        out = str(tmp_path / f"{name}.wav")
+        _run(dec, ["--preset", "tiny", "-i", codes, "-o", out,
+                   "-m", model, "--seed", "3"], monkeypatch)
+        outs[name] = load_wav(out, 16000)
+    np.testing.assert_array_equal(outs["ckpt"], outs["npz"])
+
+
 def test_cli_set_overrides():
     """--set section.field=value: typed override of ANY config field
     (the generic surface for knobs like train.codebook_lr_mult that
