@@ -23,11 +23,12 @@ def setup():
 
 def one_shot(params, cfg, wav):
     """The encode-CLI / synthesize front half: hop-trim, mu-law
-    round-trip, encode."""
+    round-trip (the shared jitted helper, as the product paths use),
+    encode."""
+    from vqvae_tpu.audio.mu_law import mu_law_round_trip_jit
     T = wav.shape[1] - wav.shape[1] % cfg.hop
-    x = mu_law_decode(mu_law_encode(jnp.asarray(wav[:, :T]), cfg.mu,
-                                    cfg.mulaw_mode),
-                      cfg.mu, mode=cfg.mulaw_mode)
+    x = mu_law_round_trip_jit(jnp.asarray(wav[:, :T]), cfg.mu,
+                              cfg.mulaw_mode)
     return np.asarray(encode_to_codes(params, cfg, x))
 
 

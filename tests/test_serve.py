@@ -1,0 +1,156 @@
+"""vqvae-serve daemon: protocol round-trips and bit-exactness of the
+served codec against the library engines (cli/serve.py)."""
+
+import base64
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    """Train 4 steps, then launch the daemon on a UNIX socket."""
+    root = tmp_path_factory.mktemp("serve")
+    run = str(root / "run")
+    from vqvae_tpu.cli.train import main as train_main
+    old = sys.argv
+    sys.argv = ["prog", "--preset", "tiny", "--dataset", "sine",
+                "--steps", "4", "--batch-size", "8", "--out", run]
+    try:
+        train_main()
+    finally:
+        sys.argv = old
+
+    sock_path = str(root / "codec.sock")
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var, so the
+    # subprocess must force CPU via jax.config before the CLI runs
+    # (same trick as tests/_dist_worker.py)
+    boot = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; sys.argv = ['vqvae-serve', '--preset', 'tiny', "
+        f"'-m', {run!r}, '--socket', {sock_path!r}, '--chunk', '4']; "
+        "from vqvae_tpu.cli.serve import main; main()")
+    # stdout/stderr go to FILES, not pipes: warmup compiles emit
+    # kilobytes of XLA warnings, and an undrained PIPE fills its 64KB
+    # buffer and blocks the child before it reaches "ready"
+    log_path = str(root / "server.log")
+    log = open(log_path, "w")
+    proc = subprocess.Popen([sys.executable, "-c", boot], stdout=log,
+                            stderr=subprocess.STDOUT, text=True)
+    # warmup compiles ~10 programs (prepare, upsample variants, scan
+    # variants, encoder windows); budget generously for a loaded CPU
+    deadline = time.time() + 900
+    while not os.path.exists(sock_path):
+        assert proc.poll() is None, open(log_path).read()[-3000:]
+        assert time.time() < deadline, "server did not come up"
+        time.sleep(0.5)
+    yield {"sock": sock_path, "run": run, "proc": proc}
+    if proc.poll() is None:
+        try:
+            _request(sock_path, {"op": "shutdown"})
+        except OSError:
+            proc.terminate()
+    proc.wait(timeout=60)
+
+
+def _request(sock_path, *reqs):
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(sock_path)
+    out = []
+    with c, c.makefile("rwb") as f:
+        for req in reqs:
+            f.write(json.dumps(req).encode() + b"\n")
+            f.flush()
+            out.append(json.loads(f.readline()))
+    return out if len(out) > 1 else out[0]
+
+
+def _pcm16(wav):
+    pcm = np.round(np.clip(wav, -1, 1) * 32767.0).astype("<i2")
+    return base64.b64encode(pcm.tobytes()).decode()
+
+
+def _unpcm16(b64):
+    return (np.frombuffer(base64.b64decode(b64), "<i2")
+            .astype(np.float32) / 32767.0)
+
+
+def test_ping(server):
+    r = _request(server["sock"], {"op": "ping"})
+    assert r["ok"] and r["sr"] == 16000 and r["hop"] == 64
+
+
+def test_decode_matches_library(server):
+    """Served greedy decode == decode_from_codes bit-for-bit (the
+    streaming-exactness contract through the socket)."""
+    import jax
+    import jax.numpy as jnp
+    from vqvae_tpu.cli.common import load_params
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.infer import decode_from_codes
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 128, 11).astype(np.int32)  # ragged vs C=4
+    r = _request(server["sock"],
+                 {"op": "decode", "codes": codes.tolist(),
+                  "speaker": 1, "greedy": True})
+    assert r["ok"] and r["samples"] == 11 * 64
+    got = _unpcm16(r["pcm16"])
+
+    cfg = get_config("tiny")
+    params = load_params(server["run"], cfg)
+    want = np.asarray(decode_from_codes(
+        params, cfg.model, jnp.asarray(codes)[None],
+        jnp.asarray([1]), jax.random.PRNGKey(0), greedy=True))[0]
+    # int16 PCM transport is the only loss
+    np.testing.assert_allclose(got, want, atol=1.0 / 32767)
+
+
+def test_encode_matches_library_and_reconstruct(server):
+    """Served encode == one-shot encode (StreamingEncoder contract);
+    reconstruct chains both and reports codes + audio."""
+    import jax.numpy as jnp
+    from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+    from vqvae_tpu.cli.common import load_params
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.infer.fastgen import encode_to_codes
+
+    sr = 16000
+    t = np.arange(900) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    # quantize to the PCM16 the socket will carry, so the comparison
+    # encoder sees the identical waveform
+    wav = _unpcm16(_pcm16(wav))
+
+    r = _request(server["sock"], {"op": "encode", "pcm16": _pcm16(wav)})
+    assert r["ok"]
+
+    cfg = get_config("tiny")
+    params = load_params(server["run"], cfg)
+    T = len(wav) - len(wav) % cfg.model.hop
+    x = mu_law_decode(mu_law_encode(jnp.asarray(wav[:T]), cfg.model.mu,
+                                    cfg.model.mulaw_mode),
+                      cfg.model.mu, mode=cfg.model.mulaw_mode)
+    want = np.asarray(encode_to_codes(params, cfg.model, x[None]))[0]
+    assert r["codes"] == want.tolist()
+
+    rec = _request(server["sock"],
+                   {"op": "reconstruct", "pcm16": _pcm16(wav),
+                    "greedy": True})
+    assert rec["ok"] and rec["codes"] == want.tolist()
+    assert rec["samples"] == T
+    assert np.all(np.isfinite(_unpcm16(rec["pcm16"])))
+
+
+def test_bad_request_keeps_daemon_alive(server):
+    bad, ping = _request(server["sock"],
+                         {"op": "decode", "codes": "nope"},
+                         {"op": "ping"})
+    assert bad["ok"] is False and "error" in bad
+    assert ping["ok"] is True  # same connection still served

@@ -49,9 +49,36 @@ def mu_law_decode(ids: jax.Array, mu: int = 256,
     if mode == "chainer":
         m = jnp.asarray(mu, dtype=dtype)
         y = ids.astype(dtype) * (2.0 / m) - 1.0
-        return jnp.sign(y) / m * jnp.expm1(jnp.abs(y) * jnp.log1p(m))
-    assert mode == "round", mode
-    m = jnp.asarray(mu - 1, dtype=dtype)
-    y = ids.astype(dtype) * (2.0 / m) - 1.0
-    x = jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(m))) / m
-    return x
+        x = jnp.sign(y) / m * jnp.expm1(jnp.abs(y) * jnp.log1p(m))
+    else:
+        assert mode == "round", mode
+        m = jnp.asarray(mu - 1, dtype=dtype)
+        y = ids.astype(dtype) * (2.0 / m) - 1.0
+        x = jnp.sign(y) * (jnp.expm1(jnp.abs(y) * jnp.log1p(m))) / m
+    # the ideal-math range is exactly [-1, 1]; under jit, fused
+    # expm1/log1p rounding can land the extreme ids 1 ulp outside it
+    return jnp.clip(x, -1.0, 1.0)
+
+
+# The SHARED jitted decode every inference path funnels ids through.
+# One compiled dispatch instead of ~6 eager ops per call (each eager
+# op is a host round trip on a tunneled TPU), and — because streaming
+# and one-shot use the SAME program — the outputs stay bit-identical
+# across engines (jit can fuse elementwise chains differently from
+# eager per-op dispatch: a 1-ulp drift was measured when streaming
+# fused the decode into its scan while one-shot decoded eagerly).
+mu_law_decode_jit = jax.jit(mu_law_decode,
+                            static_argnames=("mu", "dtype", "mode"))
+
+
+def mu_law_round_trip(x: jax.Array, mu: int = 256,
+                      mode: str = "round") -> jax.Array:
+    """Quantize-dequantize: the input distribution every model path
+    (training framing, one-shot encode, streaming encode) sees."""
+    return mu_law_decode(mu_law_encode(x, mu, mode), mu, mode=mode)
+
+
+# shared jitted form, same reasoning as mu_law_decode_jit: one
+# dispatch, and every encode front end computes the identical bits
+mu_law_round_trip_jit = jax.jit(mu_law_round_trip,
+                                static_argnames=("mu", "mode"))

@@ -19,7 +19,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+from vqvae_tpu.audio.mu_law import mu_law_round_trip_jit
 from vqvae_tpu.audio.wav_io import load_wav, trim_silence
 from vqvae_tpu.cli.common import add_config_args, load_params, \
     resolve_config
@@ -36,10 +36,8 @@ def _encode_one(params, cfg, path: str, no_trim: bool) -> np.ndarray:
     # match the training/generation input distribution: the encoder
     # always sees mu-law-quantised audio (framing/synthesize both
     # round-trip through the companding before encoding)
-    x = mu_law_decode(
-        mu_law_encode(jnp.asarray(wav[:T]), cfg.model.mu,
-                      cfg.model.mulaw_mode),
-        cfg.model.mu, mode=cfg.model.mulaw_mode)
+    x = mu_law_round_trip_jit(jnp.asarray(wav[:T]), cfg.model.mu,
+                              cfg.model.mulaw_mode)
     codes = encode_to_codes(params, cfg.model, x[None])
     return np.asarray(codes[0], np.int32)
 

@@ -1,0 +1,196 @@
+"""Serving daemon: a persistent codec process over a UNIX socket.
+
+The reference has no serving story (``generate.py`` pays model load +
+graph build per invocation — SURVEY.md §3.2); on TPU the expensive
+part is jit compilation, so the serving-shaped design is one
+long-lived process that compiles a FIXED set of shapes once and then
+answers every request warm:
+
+* decode runs through ``infer/streaming.StreamingSynthesizer`` as
+  steady ``chunk``-frame pushes plus single-frame pushes for the
+  ragged tail — exactly THREE compiled programs (C-frame step, 1-frame
+  step, flush) serve any code length, and the output is bit-identical
+  to the one-shot engines at equal seed (the fold_in(key, t) sampling
+  contract).
+* encode runs through ``infer/enc_streaming.StreamingEncoder`` in
+  fixed ``chunk*hop``-sample pushes — bit-identical to one-shot encode
+  by its exactness contract; only the final flush window varies with
+  the residual length.
+
+Protocol: newline-delimited JSON, one request per line, answered in
+order (one chip, one queue).  Audio crosses the socket as base64
+int16 PCM at the model sample rate.
+
+  {"op": "ping"}                          -> model/config info
+  {"op": "encode", "pcm16": B64}          -> {"codes": [...]}
+  {"op": "decode", "codes": [...], "speaker": 0, "seed": 0,
+   "temperature": 1.0, "greedy": false}   -> {"pcm16": B64}
+  {"op": "reconstruct", "pcm16": B64, ...decode args}
+                                          -> {"pcm16": B64, "codes"}
+  {"op": "shutdown"}
+
+Every response carries "ok"; failures report {"ok": false, "error"}
+without killing the daemon.  See tests/test_serve.py for a client.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import socket
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_tpu.cli.common import add_config_args, load_params, \
+    resolve_config
+
+
+def pcm16_to_float(b64: str) -> np.ndarray:
+    pcm = np.frombuffer(base64.b64decode(b64), "<i2")
+    return (pcm.astype(np.float32) / 32767.0).clip(-1.0, 1.0)
+
+
+def float_to_pcm16(wav: np.ndarray) -> str:
+    pcm = np.round(wav.clip(-1.0, 1.0) * 32767.0).astype("<i2")
+    return base64.b64encode(pcm.tobytes()).decode("ascii")
+
+
+class Codec:
+    """The warm engine pair behind the socket loop."""
+
+    def __init__(self, params, cfg, chunk: int = 16):
+        self.params, self.cfg, self.chunk = params, cfg, chunk
+
+    def _synth(self, speaker: int, seed: int, temperature: float,
+               greedy: bool):
+        from vqvae_tpu.infer.streaming import StreamingSynthesizer
+        return StreamingSynthesizer(
+            self.params, self.cfg.model, jnp.asarray([speaker]),
+            jax.random.PRNGKey(seed), temperature, greedy)
+
+    def encode(self, wav: np.ndarray) -> np.ndarray:
+        # a fresh encoder per request: no state can leak between
+        # requests (construction is host-side and free; the jit cache
+        # carries the warmth)
+        from vqvae_tpu.infer.enc_streaming import StreamingEncoder
+        enc = StreamingEncoder(self.params, self.cfg.model)
+        hop, C = self.cfg.model.hop, self.chunk
+        pieces = []
+        for i in range(0, len(wav), C * hop):
+            pieces.append(enc.push(wav[None, i:i + C * hop]))
+        pieces.append(enc.flush())
+        return np.concatenate(pieces, axis=1)[0]
+
+    def decode(self, codes: np.ndarray, speaker: int = 0,
+               seed: int = 0, temperature: float = 1.0,
+               greedy: bool = False) -> np.ndarray:
+        syn = self._synth(speaker, seed, temperature, greedy)
+        C = self.chunk
+        pieces = []
+        steady = len(codes) - len(codes) % C
+        arr = jnp.asarray(codes, jnp.int32)[None]
+        for i in range(0, steady, C):
+            pieces.append(np.asarray(
+                jax.device_get(syn.push(arr[:, i:i + C])))[0])
+        for i in range(steady, len(codes)):   # tail: 1-frame pushes
+            pieces.append(np.asarray(
+                jax.device_get(syn.push(arr[:, i:i + 1])))[0])
+        pieces.append(np.asarray(jax.device_get(syn.flush()))[0])
+        return np.concatenate(pieces)
+
+    def warmup(self) -> None:
+        """Compile the serving shapes before accepting connections."""
+        hop, C = self.cfg.model.hop, self.chunk
+        self.decode(np.zeros(C + 1, np.int32), greedy=True)
+        self.decode(np.zeros(C + 1, np.int32), greedy=False)
+        self.encode(np.zeros(C * hop + hop, np.float32))
+
+
+def handle(codec: Codec, req: dict) -> dict:
+    op = req.get("op")
+    if op == "ping":
+        m = codec.cfg.model
+        return {"ok": True, "sr": codec.cfg.data.sr, "hop": m.hop,
+                "K": m.K, "mu": m.mu, "preset": codec.cfg.name,
+                "chunk": codec.chunk}
+    if op == "encode":
+        codes = codec.encode(pcm16_to_float(req["pcm16"]))
+        return {"ok": True, "codes": codes.tolist()}
+    if op == "decode":
+        wav = codec.decode(
+            np.asarray(req["codes"], np.int32),
+            int(req.get("speaker", 0)), int(req.get("seed", 0)),
+            float(req.get("temperature", 1.0)),
+            bool(req.get("greedy", False)))
+        return {"ok": True, "pcm16": float_to_pcm16(wav),
+                "samples": len(wav)}
+    if op == "reconstruct":
+        codes = codec.encode(pcm16_to_float(req["pcm16"]))
+        wav = codec.decode(
+            codes, int(req.get("speaker", 0)),
+            int(req.get("seed", 0)),
+            float(req.get("temperature", 1.0)),
+            bool(req.get("greedy", False)))
+        return {"ok": True, "pcm16": float_to_pcm16(wav),
+                "codes": codes.tolist(), "samples": len(wav)}
+    return {"ok": False, "error": f"unknown op {op!r}"}
+
+
+def serve(codec: Codec, path: str) -> None:
+    if os.path.exists(path):
+        os.unlink(path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(4)
+    print(f"ready on {path}", flush=True)
+    try:
+        while True:
+            conn, _ = srv.accept()
+            with conn, conn.makefile("rwb") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        req = json.loads(line)
+                        if req.get("op") == "shutdown":
+                            f.write(b'{"ok": true}\n')
+                            f.flush()
+                            return
+                        resp = handle(codec, req)
+                    except Exception as exc:  # noqa: BLE001 — a bad
+                        # request must not kill the daemon
+                        resp = {"ok": False, "error": repr(exc)}
+                    f.write(json.dumps(resp).encode() + b"\n")
+                    f.flush()
+    finally:
+        srv.close()
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(
+        description="Persistent VQ-VAE codec daemon (UNIX socket)")
+    add_config_args(p)
+    p.add_argument("-m", "--model", required=True,
+                   help="training run dir or weights-only .npz")
+    p.add_argument("--socket", required=True,
+                   help="UNIX socket path to listen on")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="code frames per compiled decode step")
+    args = p.parse_args()
+
+    cfg = resolve_config(args)
+    params = load_params(args.model, cfg)
+    codec = Codec(params, cfg, args.chunk)
+    print("warming serving shapes...", flush=True)
+    codec.warmup()
+    serve(codec, args.socket)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,13 +68,11 @@ def main() -> None:
         if args.encode_chunk:
             n_frames = len(wav) // m.hop   # what the stream will emit
         else:
-            from vqvae_tpu.audio.mu_law import (
-                mu_law_decode, mu_law_encode)
+            from vqvae_tpu.audio.mu_law import mu_law_round_trip_jit
             from vqvae_tpu.infer.fastgen import encode_to_codes
             T = len(wav) - (len(wav) % m.hop)
-            x = jnp.asarray(wav[:T])[None]
-            x = mu_law_decode(mu_law_encode(x, m.mu, m.mulaw_mode),
-                              m.mu, mode=m.mulaw_mode)
+            x = mu_law_round_trip_jit(jnp.asarray(wav[:T])[None],
+                                      m.mu, m.mulaw_mode)
             codes = encode_to_codes(params, m, x)
             n_frames = codes.shape[1]
 

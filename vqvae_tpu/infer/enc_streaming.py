@@ -32,12 +32,16 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+from vqvae_tpu.audio.mu_law import mu_law_round_trip_jit
 from vqvae_tpu.configs import ModelConfig
 from vqvae_tpu.infer.fastgen import encode_to_codes
+
+
+_encode_window = jax.jit(encode_to_codes, static_argnames="cfg")
 
 
 def _support(cfg: ModelConfig) -> Tuple[int, int]:
@@ -83,10 +87,9 @@ class StreamingEncoder:
         chunk = np.atleast_2d(np.asarray(samples, np.float32))
         # the training/generation input distribution: mu-law round-trip
         # (elementwise — chunking-exact)
-        chunk = np.asarray(mu_law_decode(
-            mu_law_encode(jnp.asarray(chunk), self.cfg.mu,
-                          self.cfg.mulaw_mode),
-            self.cfg.mu, mode=self.cfg.mulaw_mode), np.float32)
+        chunk = np.asarray(
+            mu_law_round_trip_jit(jnp.asarray(chunk), self.cfg.mu,
+                                  self.cfg.mulaw_mode), np.float32)
         self.buf = (chunk if self.buf is None
                     else np.concatenate([self.buf, chunk], axis=1))
         self.total += chunk.shape[1]
@@ -126,7 +129,7 @@ class StreamingEncoder:
         seg = self.buf[:, w_start - self.buf_start:
                        min(usable, w_end) - self.buf_start]
         window[:, :seg.shape[1]] = seg
-        codes = np.asarray(encode_to_codes(
+        codes = np.asarray(_encode_window(
             self.params, self.cfg, jnp.asarray(window)), np.int32)
         f0 = w_start // H
         out = codes[:, n0 - f0:n1 - f0]

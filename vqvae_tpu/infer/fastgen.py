@@ -24,7 +24,10 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from vqvae_tpu.audio.mu_law import mu_law_decode, mu_law_encode
+from vqvae_tpu.audio.mu_law import (
+    mu_law_decode_jit,
+    mu_law_round_trip_jit,
+)
 from vqvae_tpu.configs import ModelConfig
 from vqvae_tpu.models.encoder import apply_encoder
 from vqvae_tpu.models.vq import nearest_code
@@ -139,7 +142,9 @@ def decode_from_codes(params: Dict, cfg: ModelConfig, codes: jax.Array,
         cond = upsample_cond(params["decoder"], cfg, e)
         ids = generate_ids(params, cfg, cond, speaker, key,
                            temperature, greedy, impl)
-    return mu_law_decode(ids, cfg.mu, mode=cfg.mulaw_mode)
+    # the SHARED jitted decode: bit-identical across one-shot and
+    # streaming engines (audio/mu_law.py::mu_law_decode_jit)
+    return mu_law_decode_jit(ids, cfg.mu, mode=cfg.mulaw_mode)
 
 
 def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
@@ -152,9 +157,7 @@ def synthesize(params: Dict, cfg: ModelConfig, wav: jax.Array,
     T' = T rounded down to a multiple of the encoder hop.
     """
     T = wav.shape[1] - (wav.shape[1] % cfg.hop)
-    wav = mu_law_decode(mu_law_encode(wav[:, :T], cfg.mu,
-                                      cfg.mulaw_mode),
-                        cfg.mu, mode=cfg.mulaw_mode)
+    wav = mu_law_round_trip_jit(wav[:, :T], cfg.mu, cfg.mulaw_mode)
     codes = encode_to_codes(params, cfg, wav)
     out = decode_from_codes(params, cfg, codes, speaker, key,
                             temperature, greedy, impl)

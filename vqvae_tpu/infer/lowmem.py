@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vqvae_tpu.audio.mu_law import mu_law_decode
+from vqvae_tpu.audio.mu_law import mu_law_decode_jit
 from vqvae_tpu.configs import ModelConfig
 from vqvae_tpu.models.wavenet import (
     decoder_step,
@@ -113,4 +113,4 @@ def decode_from_codes_lowmem(params: Dict, cfg: ModelConfig,
                              chunk_samples: int = 1024) -> jax.Array:
     ids = generate_ids_lowmem(params, cfg, codes, speaker, key,
                               temperature, greedy, chunk_samples)
-    return mu_law_decode(ids, cfg.mu, mode=cfg.mulaw_mode)
+    return mu_law_decode_jit(ids, cfg.mu, mode=cfg.mulaw_mode)

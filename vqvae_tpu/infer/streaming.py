@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vqvae_tpu.audio.mu_law import mu_law_decode
+from vqvae_tpu.audio.mu_law import mu_law_decode_jit
 from vqvae_tpu.configs import ModelConfig
 from vqvae_tpu.models.wavenet import (
     GenState,
@@ -40,7 +40,11 @@ from vqvae_tpu.models.wavenet import (
 def _stream_chunk(gp, cfg: ModelConfig, state: GenState, x_t, key,
                   cond_chunk, gcond, temperature=1.0,
                   greedy: bool = False):
-    """Advance the decoder over one cond chunk, carrying state."""
+    """Advance the decoder over one cond chunk, carrying state.
+    Returns the sampled ids; callers decode them through the SHARED
+    ``mu_law_decode_jit`` so streaming output is bit-identical to the
+    one-shot engines (fusing the decode into this scan measured a
+    1-ulp drift vs the one-shot path)."""
 
     def step(carry, c_t):
         state, x_t = carry
@@ -61,6 +65,34 @@ def _stream_chunk(gp, cfg: ModelConfig, state: GenState, x_t, key,
     return state, x_t, jnp.swapaxes(ids, 0, 1)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _prepare(dec, cfg: ModelConfig, speaker):
+    """Gen-param/global-cond construction as ONE dispatch (eagerly it
+    is dozens of tiny ops — each a host round trip on a tunneled
+    device, which dominates per-request latency in serving)."""
+    return (make_gen_params(dec, cfg),
+            global_cond(dec, cfg, speaker))
+
+
+@partial(jax.jit, static_argnames=("cfg", "first"))
+def _upsample_chunk_jit(up_w, up_b, codebook, codes, carry,
+                        cfg: ModelConfig, first: bool):
+    """VALID transposed conv + overlap-add, one dispatch per push."""
+    hop = cfg.hop
+    e = codebook[codes].astype(cfg.cdtype)               # [B, C, d]
+    v = lax.conv_transpose(
+        e, up_w, strides=(hop,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"))         # [B,(C+1)h,d]
+    C = codes.shape[1]
+    if not first:
+        v = v.at[:, :hop].add(carry)
+    new_carry = v[:, C * hop:]
+    out = v[:, :C * hop]
+    if first:
+        out = out[:, hop // 2:]
+    return out + up_b, new_carry
+
+
 class StreamingSynthesizer:
     """Push VQ code frames, pull waveform — constant device memory.
 
@@ -76,11 +108,10 @@ class StreamingSynthesizer:
         # per side only for a kernel of exactly 2*hop
         assert cfg.upsample_kernel_mult == 2, cfg.upsample_kernel_mult
         self.cfg = cfg
-        self.gp = make_gen_params(params["decoder"], cfg)
+        self.gp, self.gcond = _prepare(params["decoder"], cfg, speaker)
         self.codebook = params["vq"]["codebook"]
         self.up_w = params["decoder"]["upsample"]["w"].astype(cfg.cdtype)
         self.up_b = params["decoder"]["upsample"]["b"].astype(cfg.cdtype)
-        self.gcond = global_cond(params["decoder"], cfg, speaker)
         self.temperature = temperature
         self.greedy = greedy
         self.key = key
@@ -93,22 +124,13 @@ class StreamingSynthesizer:
     def _upsample_chunk(self, codes: jax.Array) -> jax.Array:
         """VALID transposed conv + overlap-add; returns the cond samples
         finalized by this chunk (C*hop, minus hop//2 on the first)."""
-        cfg = self.cfg
-        hop = cfg.hop
-        e = self.codebook[codes].astype(cfg.cdtype)       # [B, C, d]
-        v = lax.conv_transpose(
-            e, self.up_w, strides=(hop,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"))      # [B,(C+1)h,d]
-        C = codes.shape[1]
-        if self._carry is not None:
-            v = v.at[:, :hop].add(self._carry)
-        new_carry = v[:, C * hop:]
-        out = v[:, :C * hop]
-        if self._first:
-            out = out[:, hop // 2:]
-            self._first = False
-        self._carry = new_carry
-        return out + self.up_b
+        carry = (self._carry if self._carry is not None
+                 else self.up_w[:1])  # unread dummy when first
+        out, self._carry = _upsample_chunk_jit(
+            self.up_w, self.up_b, self.codebook, codes, carry,
+            self.cfg, self._first)
+        self._first = False
+        return out
 
     def push(self, codes: jax.Array) -> jax.Array:
         """codes ``[B, C]`` -> waveform ``[B, ~C*hop]`` float32."""
@@ -116,7 +138,8 @@ class StreamingSynthesizer:
         self.state, self.x_t, ids = _stream_chunk(
             self.gp, self.cfg, self.state, self.x_t, self.key, cond,
             self.gcond, self.temperature, self.greedy)
-        return mu_law_decode(ids, self.cfg.mu, mode=self.cfg.mulaw_mode)
+        return mu_law_decode_jit(ids, self.cfg.mu,
+                                 mode=self.cfg.mulaw_mode)
 
     def flush(self) -> jax.Array:
         """Emit the final ``hop - hop//2`` samples (the SAME-crop tail)."""
@@ -127,4 +150,5 @@ class StreamingSynthesizer:
             self.gp, self.cfg, self.state, self.x_t, self.key, cond,
             self.gcond, self.temperature, self.greedy)
         self._carry = None
-        return mu_law_decode(ids, self.cfg.mu, mode=self.cfg.mulaw_mode)
+        return mu_law_decode_jit(ids, self.cfg.mu,
+                                 mode=self.cfg.mulaw_mode)
