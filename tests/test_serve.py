@@ -112,6 +112,33 @@ def test_decode_matches_library(server):
     np.testing.assert_allclose(got, want, atol=1.0 / 32767)
 
 
+def test_decode_sampled_matches_library(server):
+    """Sampled (non-greedy) served decode is ALSO bit-exact vs the
+    one-shot engine at equal seed/temperature: per-step keys are
+    fold_in(key, t) on the global step, so the daemon's chunked pushes
+    draw the identical stream (infer/streaming.py contract)."""
+    import jax
+    import jax.numpy as jnp
+    from vqvae_tpu.cli.common import load_params
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.infer import decode_from_codes
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 128, 9).astype(np.int32)   # ragged vs C=4
+    r = _request(server["sock"],
+                 {"op": "decode", "codes": codes.tolist(),
+                  "seed": 7, "temperature": 0.9})
+    assert r["ok"]
+    got = _unpcm16(r["pcm16"])
+
+    cfg = get_config("tiny")
+    params = load_params(server["run"], cfg)
+    want = np.asarray(decode_from_codes(
+        params, cfg.model, jnp.asarray(codes)[None],
+        jnp.asarray([0]), jax.random.PRNGKey(7), temperature=0.9))[0]
+    np.testing.assert_allclose(got, want, atol=1.0 / 32767)
+
+
 def test_encode_matches_library_and_reconstruct(server):
     """Served encode == one-shot encode (StreamingEncoder contract);
     reconstruct chains both and reports codes + audio."""
