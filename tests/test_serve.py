@@ -175,6 +175,20 @@ def test_encode_matches_library_and_reconstruct(server):
     assert np.all(np.isfinite(_unpcm16(rec["pcm16"])))
 
 
+def test_idle_client_does_not_starve_others(server):
+    """Connections are concurrent (thread per client, device work
+    serialized): a client that connects and sends nothing must not
+    block another client's requests."""
+    idle = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    idle.connect(server["sock"])
+    try:
+        t0 = time.time()
+        r = _request(server["sock"], {"op": "ping"})
+        assert r["ok"] and time.time() - t0 < 30
+    finally:
+        idle.close()
+
+
 def test_bad_request_keeps_daemon_alive(server):
     bad, ping = _request(server["sock"],
                          {"op": "decode", "codes": "nope"},

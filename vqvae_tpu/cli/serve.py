@@ -18,8 +18,10 @@ answers every request warm:
   the residual length.
 
 Protocol: newline-delimited JSON, one request per line, answered in
-order (one chip, one queue).  Audio crosses the socket as base64
-int16 PCM at the model sample rate.
+order per connection.  Connections are served concurrently (thread
+per client) but device work runs one request at a time (one chip, one
+queue), so an idle client never starves the others.  Audio crosses
+the socket as base64 int16 PCM at the model sample rate.
 
   {"op": "ping"}                          -> model/config info
   {"op": "encode", "pcm16": B64}          -> {"codes": [...]}
@@ -40,6 +42,7 @@ import base64
 import json
 import os
 import socket
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -140,32 +143,65 @@ def handle(codec: Codec, req: dict) -> dict:
     return {"ok": False, "error": f"unknown op {op!r}"}
 
 
-def serve(codec: Codec, path: str) -> None:
+def _client_loop(codec: Codec, conn, lock, stop) -> None:
+    """One connection: read lines, answer in order.  Device work is
+    serialized by ``lock`` (one chip, one queue) but connection IO is
+    per-thread, so an idle or half-dead client cannot starve others."""
+    def _answer(req):
+        """Anything a request raises becomes an error response; only
+        socket IO may drop the connection."""
+        try:
+            with lock:
+                return handle(codec, req)
+        except Exception as exc:  # noqa: BLE001 — a bad request
+            # must not kill the daemon
+            return {"ok": False, "error": repr(exc)}
+
+    try:
+        with conn, conn.makefile("rwb") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    req = json.loads(line)
+                except ValueError as exc:
+                    resp = {"ok": False, "error": repr(exc)}
+                else:
+                    if req.get("op") == "shutdown":
+                        f.write(b'{"ok": true}\n')
+                        f.flush()
+                        stop.set()
+                        return
+                    resp = _answer(req)
+                f.write(json.dumps(resp).encode() + b"\n")
+                f.flush()
+    except OSError:
+        return  # idle timeout or client went away mid-line
+
+
+def serve(codec: Codec, path: str, idle_timeout: float = 300.0) -> None:
     if os.path.exists(path):
         os.unlink(path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
-    srv.listen(4)
+    srv.listen(16)
+    # accept() must wake up to notice a shutdown requested on a
+    # client thread
+    srv.settimeout(0.2)
+    lock, stop = threading.Lock(), threading.Event()
     print(f"ready on {path}", flush=True)
     try:
-        while True:
-            conn, _ = srv.accept()
-            with conn, conn.makefile("rwb") as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    try:
-                        req = json.loads(line)
-                        if req.get("op") == "shutdown":
-                            f.write(b'{"ok": true}\n')
-                            f.flush()
-                            return
-                        resp = handle(codec, req)
-                    except Exception as exc:  # noqa: BLE001 — a bad
-                        # request must not kill the daemon
-                        resp = {"ok": False, "error": repr(exc)}
-                    f.write(json.dumps(resp).encode() + b"\n")
-                    f.flush()
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            # an idle client only times out ITSELF (reads on its own
+            # thread); device work still runs one request at a time
+            conn.settimeout(idle_timeout)
+            threading.Thread(target=_client_loop,
+                             args=(codec, conn, lock, stop),
+                             daemon=True).start()
     finally:
         srv.close()
         if os.path.exists(path):
@@ -182,6 +218,9 @@ def main() -> None:
                    help="UNIX socket path to listen on")
     p.add_argument("--chunk", type=int, default=16,
                    help="code frames per compiled decode step")
+    p.add_argument("--idle-timeout", type=float, default=300.0,
+                   help="disconnect a client after this many idle "
+                        "seconds (it may reconnect)")
     args = p.parse_args()
 
     cfg = resolve_config(args)
@@ -189,7 +228,7 @@ def main() -> None:
     codec = Codec(params, cfg, args.chunk)
     print("warming serving shapes...", flush=True)
     codec.warmup()
-    serve(codec, args.socket)
+    serve(codec, args.socket, args.idle_timeout)
 
 
 if __name__ == "__main__":
