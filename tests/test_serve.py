@@ -54,9 +54,11 @@ def server(tmp_path_factory):
     if proc.poll() is None:
         try:
             _request(sock_path, {"op": "shutdown"})
-        except OSError:
+        except (OSError, ValueError):
+            # server gone or closed the connection before replying
             proc.terminate()
     proc.wait(timeout=60)
+    log.close()
 
 
 def _request(sock_path, *reqs):
@@ -190,8 +192,12 @@ def test_idle_client_does_not_starve_others(server):
 
 
 def test_bad_request_keeps_daemon_alive(server):
-    bad, ping = _request(server["sock"],
-                         {"op": "decode", "codes": "nope"},
-                         {"op": "ping"})
+    bad, spk, ping = _request(server["sock"],
+                              {"op": "decode", "codes": "nope"},
+                              {"op": "decode", "codes": [1, 2, 3],
+                               "speaker": 99},
+                              {"op": "ping"})
     assert bad["ok"] is False and "error" in bad
+    # gathers clamp out of range: must error, not serve a wrong voice
+    assert spk["ok"] is False and "speaker" in spk["error"]
     assert ping["ok"] is True  # same connection still served

@@ -44,6 +44,20 @@ def test_streaming_single_frame_chunks():
     np.testing.assert_array_equal(np.asarray(streamed), np.asarray(full))
 
 
+def test_streaming_push_after_flush():
+    """push() after flush() starts a fresh carry-less upsample chunk
+    (regression: the jitted upsample once tied the carry-add to the
+    non-first flag and added a dummy array after flush)."""
+    params, codes, spk = _setup(T_lat=8)
+    s = StreamingSynthesizer(params, CFG, spk, jax.random.PRNGKey(5),
+                             greedy=True)
+    s.push(codes[:, :4])
+    s.flush()
+    out = s.push(codes[:, 4:])   # non-first AND carry-less
+    assert out.shape == (2, 4 * CFG.hop)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_streaming_constant_state_size():
     params, codes, spk = _setup(T_lat=8)
     s = StreamingSynthesizer(params, CFG, spk, jax.random.PRNGKey(4))

@@ -8,14 +8,17 @@ answers every request warm:
 
 * decode runs through ``infer/streaming.StreamingSynthesizer`` as
   steady ``chunk``-frame pushes plus single-frame pushes for the
-  ragged tail — exactly THREE compiled programs (C-frame step, 1-frame
-  step, flush) serve any code length, and the output is bit-identical
-  to the one-shot engines at equal seed (the fold_in(key, t) sampling
-  contract).
+  ragged tail — a FIXED set of compiled programs (first/steady
+  C-frame steps, first/tail 1-frame steps, flush; all warmed for both
+  greedy and sampled) serves any code length, and the output is
+  bit-identical to the one-shot engines at equal seed (the
+  fold_in(key, t) sampling contract).
 * encode runs through ``infer/enc_streaming.StreamingEncoder`` in
   fixed ``chunk*hop``-sample pushes — bit-identical to one-shot encode
-  by its exactness contract; only the final flush window varies with
-  the residual length.
+  by its exactness contract.  The steady-state windows are warmed;
+  only the final flush window varies with the request's residual
+  frame count (a bounded set, each compiled once and persisted in the
+  on-disk XLA cache).
 
 Protocol: newline-delimited JSON, one request per line, answered in
 order per connection.  Connections are served concurrently (thread
@@ -91,26 +94,54 @@ class Codec:
     def decode(self, codes: np.ndarray, speaker: int = 0,
                seed: int = 0, temperature: float = 1.0,
                greedy: bool = False) -> np.ndarray:
+        codes = np.asarray(codes, np.int32)
+        if codes.ndim != 1 or codes.size == 0:
+            raise ValueError("codes must be a non-empty 1-D id list")
         syn = self._synth(speaker, seed, temperature, greedy)
         C = self.chunk
         pieces = []
         steady = len(codes) - len(codes) % C
-        arr = jnp.asarray(codes, jnp.int32)[None]
+        # slice on host: eager device slices compile one program per
+        # distinct offset, which would defeat the fixed-shape set
         for i in range(0, steady, C):
             pieces.append(np.asarray(
-                jax.device_get(syn.push(arr[:, i:i + C])))[0])
+                jax.device_get(syn.push(jnp.asarray(
+                    codes[None, i:i + C]))))[0])
         for i in range(steady, len(codes)):   # tail: 1-frame pushes
             pieces.append(np.asarray(
-                jax.device_get(syn.push(arr[:, i:i + 1])))[0])
+                jax.device_get(syn.push(jnp.asarray(
+                    codes[None, i:i + 1]))))[0])
         pieces.append(np.asarray(jax.device_get(syn.flush()))[0])
         return np.concatenate(pieces)
 
     def warmup(self) -> None:
-        """Compile the serving shapes before accepting connections."""
+        """Compile the serving shapes before accepting connections.
+
+        Decode's full compiled set is: first C-frame push, steady
+        (non-first) C-frame push, first and non-first 1-frame pushes,
+        and flush — ``2*C+1`` codes hits all the non-first ones plus
+        both C-push variants, ``1`` code hits the first-1-frame one;
+        each for greedy and sampled.  Encode: 3 full chunks + a ragged
+        tail covers the first and steady window widths plus the
+        mu-law bucket; flush windows vary with the residual frame
+        count (a small bounded set, <= chunk widths) and compile on
+        first occurrence, persisted in the on-disk XLA cache.
+        """
         hop, C = self.cfg.model.hop, self.chunk
-        self.decode(np.zeros(C + 1, np.int32), greedy=True)
-        self.decode(np.zeros(C + 1, np.int32), greedy=False)
-        self.encode(np.zeros(C * hop + hop, np.float32))
+        for greedy in (True, False):
+            self.decode(np.zeros(2 * C + 1, np.int32), greedy=greedy)
+            self.decode(np.zeros(1, np.int32), greedy=greedy)
+        self.encode(np.zeros(3 * C * hop + hop + 37, np.float32))
+
+
+def _speaker(codec: Codec, req: dict) -> int:
+    """Validated speaker id: JAX gathers clamp out-of-range indices,
+    which would silently serve the wrong voice instead of erroring."""
+    s = int(req.get("speaker", 0))
+    n = codec.cfg.model.n_speakers
+    if not 0 <= s < n:
+        raise ValueError(f"speaker {s} out of range [0, {n})")
+    return s
 
 
 def handle(codec: Codec, req: dict) -> dict:
@@ -126,7 +157,7 @@ def handle(codec: Codec, req: dict) -> dict:
     if op == "decode":
         wav = codec.decode(
             np.asarray(req["codes"], np.int32),
-            int(req.get("speaker", 0)), int(req.get("seed", 0)),
+            _speaker(codec, req), int(req.get("seed", 0)),
             float(req.get("temperature", 1.0)),
             bool(req.get("greedy", False)))
         return {"ok": True, "pcm16": float_to_pcm16(wav),
@@ -134,7 +165,7 @@ def handle(codec: Codec, req: dict) -> dict:
     if op == "reconstruct":
         codes = codec.encode(pcm16_to_float(req["pcm16"]))
         wav = codec.decode(
-            codes, int(req.get("speaker", 0)),
+            codes, _speaker(codec, req),
             int(req.get("seed", 0)),
             float(req.get("temperature", 1.0)),
             bool(req.get("greedy", False)))

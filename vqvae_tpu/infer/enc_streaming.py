@@ -32,16 +32,15 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vqvae_tpu.audio.mu_law import mu_law_round_trip_jit
 from vqvae_tpu.configs import ModelConfig
+# encode_to_codes is jitted at definition: the windows here run the
+# IDENTICAL compiled program as the one-shot encode paths, which is
+# what makes the chunked emission bit-exact on real hardware
 from vqvae_tpu.infer.fastgen import encode_to_codes
-
-
-_encode_window = jax.jit(encode_to_codes, static_argnames="cfg")
 
 
 def _support(cfg: ModelConfig) -> Tuple[int, int]:
@@ -86,10 +85,18 @@ class StreamingEncoder:
         (m may be 0 while the lookahead fills)."""
         chunk = np.atleast_2d(np.asarray(samples, np.float32))
         # the training/generation input distribution: mu-law round-trip
-        # (elementwise — chunking-exact)
+        # (elementwise — chunking-exact).  Pad to 128-sample buckets
+        # and slice back: elementwise means the pad never leaks, and
+        # the jit program count stays bounded instead of one program
+        # per distinct push length (each a compile on a tunneled TPU)
+        n = chunk.shape[1]
+        nb = max(128, -(-n // 128) * 128)
+        padded = np.zeros((chunk.shape[0], nb), np.float32)
+        padded[:, :n] = chunk
         chunk = np.asarray(
-            mu_law_round_trip_jit(jnp.asarray(chunk), self.cfg.mu,
-                                  self.cfg.mulaw_mode), np.float32)
+            mu_law_round_trip_jit(jnp.asarray(padded), self.cfg.mu,
+                                  self.cfg.mulaw_mode),
+            np.float32)[:, :n]
         self.buf = (chunk if self.buf is None
                     else np.concatenate([self.buf, chunk], axis=1))
         self.total += chunk.shape[1]
@@ -129,7 +136,7 @@ class StreamingEncoder:
         seg = self.buf[:, w_start - self.buf_start:
                        min(usable, w_end) - self.buf_start]
         window[:, :seg.shape[1]] = seg
-        codes = np.asarray(_encode_window(
+        codes = np.asarray(encode_to_codes(
             self.params, self.cfg, jnp.asarray(window)), np.int32)
         f0 = w_start // H
         out = codes[:, n0 - f0:n1 - f0]

@@ -120,11 +120,21 @@ def teacher_forced_scan_logits(params: Dict, cfg: ModelConfig,
     return jnp.swapaxes(logits, 0, 1)
 
 
-def encode_to_codes(params: Dict, cfg: ModelConfig, wav: jax.Array
-                    ) -> jax.Array:
-    """Waveform ``[B, T]`` -> code ids ``[B, T/hop]`` ('encode' CLI)."""
+def _encode_to_codes(params: Dict, cfg: ModelConfig, wav: jax.Array
+                     ) -> jax.Array:
     z = apply_encoder(params["encoder"], cfg, wav)
     return nearest_code(z, params["vq"]["codebook"].astype(z.dtype))
+
+
+# Waveform ``[B, T]`` -> code ids ``[B, T/hop]`` ('encode' CLI).
+# Jitted at definition so EVERY encode path (one-shot CLIs,
+# synthesize, the streaming encoder's windows) runs the SAME compiled
+# program: jit can fuse the conv/argmin chain differently from eager
+# per-op dispatch, and a 1-ulp z drift near a codebook distance tie
+# would flip an emitted id, breaking the streaming-encode exactness
+# contract. One program also means one dispatch per call instead of a
+# host round trip per op on a tunneled device.
+encode_to_codes = jax.jit(_encode_to_codes, static_argnames="cfg")
 
 
 def decode_from_codes(params: Dict, cfg: ModelConfig, codes: jax.Array,

@@ -74,17 +74,20 @@ def _prepare(dec, cfg: ModelConfig, speaker):
             global_cond(dec, cfg, speaker))
 
 
-@partial(jax.jit, static_argnames=("cfg", "first"))
+@partial(jax.jit, static_argnames=("cfg", "first", "has_carry"))
 def _upsample_chunk_jit(up_w, up_b, codebook, codes, carry,
-                        cfg: ModelConfig, first: bool):
-    """VALID transposed conv + overlap-add, one dispatch per push."""
+                        cfg: ModelConfig, first: bool,
+                        has_carry: bool):
+    """VALID transposed conv + overlap-add, one dispatch per push.
+    ``has_carry`` is separate from ``first``: a push after ``flush``
+    is non-first yet carry-less."""
     hop = cfg.hop
     e = codebook[codes].astype(cfg.cdtype)               # [B, C, d]
     v = lax.conv_transpose(
         e, up_w, strides=(hop,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"))         # [B,(C+1)h,d]
     C = codes.shape[1]
-    if not first:
+    if has_carry:
         v = v.at[:, :hop].add(carry)
     new_carry = v[:, C * hop:]
     out = v[:, :C * hop]
@@ -124,11 +127,12 @@ class StreamingSynthesizer:
     def _upsample_chunk(self, codes: jax.Array) -> jax.Array:
         """VALID transposed conv + overlap-add; returns the cond samples
         finalized by this chunk (C*hop, minus hop//2 on the first)."""
-        carry = (self._carry if self._carry is not None
-                 else self.up_w[:1])  # unread dummy when first
+        has_carry = self._carry is not None
+        carry = (self._carry if has_carry
+                 else self.up_w[:1])  # unread dummy (traced-out)
         out, self._carry = _upsample_chunk_jit(
             self.up_w, self.up_b, self.codebook, codes, carry,
-            self.cfg, self._first)
+            self.cfg, self._first, has_carry)
         self._first = False
         return out
 
