@@ -254,8 +254,41 @@ def _witness_kernel_parity() -> dict:
     return out
 
 
+def _device_watchdog(timeout_s: float):
+    """Fail fast (one JSON error line) if device init never completes.
+
+    The tunneled TPU can wedge so hard that ``jax.devices()`` blocks
+    forever in C (observed 2026-08-18: >20 min, no error); without
+    this the driver's bench run would hang instead of recording a
+    diagnosable failure. Returns an Event to set once the device
+    answered."""
+    import threading
+
+    ready = threading.Event()
+
+    def _watch():
+        if not ready.wait(timeout_s):
+            print(json.dumps({
+                "metric": "fast_ar_synthesis_throughput",
+                "value": 0.0,
+                "unit": "samples/s/core",
+                "vs_baseline": 0.0,
+                "error": "device init did not complete within "
+                         f"{timeout_s:.0f}s (TPU tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return ready
+
+
 def main() -> None:
     from vqvae_tpu.configs import get_config
+
+    ready = _device_watchdog(
+        float(os.environ.get("BENCH_DEVICE_TIMEOUT", 900)))
+    jax.devices()          # blocks on tunnel init; watchdog covers it
+    ready.set()
 
     cfg = get_config("vctk-multi").model  # flagship: 30-layer WaveNet
     samples_per_sec = _bench_synthesis(cfg)
