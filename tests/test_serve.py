@@ -177,6 +177,46 @@ def test_encode_matches_library_and_reconstruct(server):
     assert np.all(np.isfinite(_unpcm16(rec["pcm16"])))
 
 
+def test_tcp_transport(server):
+    """--tcp host:port serves the identical protocol over TCP."""
+    port = 40000 + os.getpid() % 20000
+    boot = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; sys.argv = ['vqvae-serve', '--preset', 'tiny', "
+        f"'-m', {server['run']!r}, '--tcp', '127.0.0.1:{port}', "
+        "'--chunk', '4']; "
+        "from vqvae_tpu.cli.serve import main; main()")
+    log_path = server["run"] + "-tcp.log"
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen([sys.executable, "-c", boot],
+                                stdout=log, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 900
+        while True:
+            assert proc.poll() is None, open(log_path).read()[-3000:]
+            assert time.time() < deadline, "tcp server did not come up"
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=2)
+                break
+            except OSError:
+                time.sleep(0.5)
+        with c, c.makefile("rwb") as f:
+            for req in ({"op": "ping"},
+                        {"op": "decode", "codes": [5, 6, 7],
+                         "greedy": True},
+                        {"op": "shutdown"}):
+                f.write(json.dumps(req).encode() + b"\n")
+                f.flush()
+                r = json.loads(f.readline())
+                assert r["ok"], r
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=60)
+
+
 def test_idle_client_does_not_starve_others(server):
     """Connections are concurrent (thread per client, device work
     serialized): a client that connects and sends nothing must not

@@ -24,7 +24,9 @@ Protocol: newline-delimited JSON, one request per line, answered in
 order per connection.  Connections are served concurrently (thread
 per client) but device work runs one request at a time (one chip, one
 queue), so an idle client never starves the others.  Audio crosses
-the socket as base64 int16 PCM at the model sample rate.
+the socket as base64 int16 PCM at the model sample rate.  The
+transport is a UNIX socket (``--socket``) or TCP (``--tcp
+host:port``) — same protocol on both.
 
   {"op": "ping"}                          -> model/config info
   {"op": "encode", "pcm16": B64}          -> {"codes": [...]}
@@ -44,7 +46,9 @@ import argparse
 import base64
 import json
 import os
+import signal
 import socket
+import sys
 import threading
 
 import jax
@@ -210,17 +214,33 @@ def _client_loop(codec: Codec, conn, lock, stop) -> None:
         return  # idle timeout or client went away mid-line
 
 
-def serve(codec: Codec, path: str, idle_timeout: float = 300.0) -> None:
+def _bind(path: str | None, tcp: str | None):
+    """A listening socket: UNIX at ``path`` or TCP at ``host:port``."""
+    if tcp:
+        host, port = tcp.rsplit(":", 1)
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host or "127.0.0.1", int(port)))
+        return srv, f"tcp://{host or '127.0.0.1'}:{port}", None
     if os.path.exists(path):
         os.unlink(path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
+    return srv, path, path
+
+
+def serve(codec: Codec, path: str | None,
+          idle_timeout: float = 300.0, tcp: str | None = None) -> None:
+    srv, label, unlink = _bind(path, tcp)
     srv.listen(16)
     # accept() must wake up to notice a shutdown requested on a
     # client thread
     srv.settimeout(0.2)
     lock, stop = threading.Lock(), threading.Event()
-    print(f"ready on {path}", flush=True)
+    # SIGTERM (systemd/k8s stop) must run the finally block so a
+    # UNIX socket path never leaks into the next start
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    print(f"ready on {label}", flush=True)
     try:
         while not stop.is_set():
             try:
@@ -235,31 +255,37 @@ def serve(codec: Codec, path: str, idle_timeout: float = 300.0) -> None:
                              daemon=True).start()
     finally:
         srv.close()
-        if os.path.exists(path):
-            os.unlink(path)
+        if unlink and os.path.exists(unlink):
+            os.unlink(unlink)
 
 
 def main() -> None:
     p = argparse.ArgumentParser(
-        description="Persistent VQ-VAE codec daemon (UNIX socket)")
+        description="Persistent VQ-VAE codec daemon "
+                    "(UNIX socket or TCP)")
     add_config_args(p)
     p.add_argument("-m", "--model", required=True,
                    help="training run dir or weights-only .npz")
-    p.add_argument("--socket", required=True,
+    p.add_argument("--socket",
                    help="UNIX socket path to listen on")
+    p.add_argument("--tcp", metavar="HOST:PORT",
+                   help="listen on TCP instead of a UNIX socket "
+                        "(e.g. 127.0.0.1:7070)")
     p.add_argument("--chunk", type=int, default=16,
                    help="code frames per compiled decode step")
     p.add_argument("--idle-timeout", type=float, default=300.0,
                    help="disconnect a client after this many idle "
                         "seconds (it may reconnect)")
     args = p.parse_args()
+    if bool(args.socket) == bool(args.tcp):
+        p.error("exactly one of --socket or --tcp is required")
 
     cfg = resolve_config(args)
     params = load_params(args.model, cfg)
     codec = Codec(params, cfg, args.chunk)
     print("warming serving shapes...", flush=True)
     codec.warmup()
-    serve(codec, args.socket, args.idle_timeout)
+    serve(codec, args.socket, args.idle_timeout, args.tcp)
 
 
 if __name__ == "__main__":
