@@ -19,7 +19,8 @@ BENCH_r*.json is a witness, not a prose claim (VERDICT round 1):
                     seed-sensitive
 
 Env knobs: BENCH_SECONDS, BENCH_BATCH, BENCH_TRAIN=0, BENCH_PALLAS=0,
-BENCH_TRAIN_BATCH.
+BENCH_TRAIN_BATCH, BENCH_DEVICE_TIMEOUT (seconds before the
+device-init watchdog fails the run with a JSON error line).
 """
 
 from __future__ import annotations
