@@ -86,6 +86,7 @@ def _unpcm16(b64):
 def test_ping(server):
     r = _request(server["sock"], {"op": "ping"})
     assert r["ok"] and r["sr"] == 16000 and r["hop"] == 64
+    assert r["n_speakers"] == 4  # the valid speaker range for decode
 
 
 def test_decode_matches_library(server):

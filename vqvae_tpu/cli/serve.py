@@ -153,8 +153,8 @@ def handle(codec: Codec, req: dict) -> dict:
     if op == "ping":
         m = codec.cfg.model
         return {"ok": True, "sr": codec.cfg.data.sr, "hop": m.hop,
-                "K": m.K, "mu": m.mu, "preset": codec.cfg.name,
-                "chunk": codec.chunk}
+                "K": m.K, "mu": m.mu, "n_speakers": m.n_speakers,
+                "preset": codec.cfg.name, "chunk": codec.chunk}
     if op == "encode":
         codes = codec.encode(pcm16_to_float(req["pcm16"]))
         return {"ok": True, "codes": codes.tolist()}
