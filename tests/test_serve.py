@@ -178,6 +178,30 @@ def test_encode_matches_library_and_reconstruct(server):
     assert np.all(np.isfinite(_unpcm16(rec["pcm16"])))
 
 
+def test_python_client(server):
+    """CodecClient wraps the wire protocol: numpy in/out round-trip
+    and typed errors (vqvae_tpu/client.py)."""
+    import pytest as _pytest
+
+    from vqvae_tpu.client import CodecClient, ServerError
+
+    with CodecClient(socket_path=server["sock"]) as c:
+        info = c.ping()
+        assert info["hop"] == 64 and info["n_speakers"] == 4
+        sr = info["sr"]
+        t = np.arange(640) / sr
+        wav = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        out, codes = c.reconstruct(wav, speaker=2, greedy=True)
+        assert codes.dtype == np.int32 and len(codes) == 10
+        assert out.shape == (640,) and np.all(np.isfinite(out))
+        assert np.array_equal(c.encode(wav), codes)
+        dec = c.decode(codes, speaker=2, greedy=True)
+        np.testing.assert_allclose(dec, out, atol=1.0 / 32767)
+        with _pytest.raises(ServerError, match="speaker"):
+            c.decode(codes, speaker=50)
+        assert c.ping()["ok"]  # connection survives the typed error
+
+
 def test_tcp_transport(server):
     """--tcp host:port serves the identical protocol over TCP."""
     port = 40000 + os.getpid() % 20000
