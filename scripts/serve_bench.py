@@ -6,7 +6,8 @@ load + graph build per run — SURVEY.md §3.2); this harness measures
 the thing a codec deployment actually cares about: wall latency per
 request against a warm daemon, including protocol + transport
 overhead, and the realtime factor (audio seconds produced per wall
-second).
+second).  Requests go through ``vqvae_tpu.client.CodecClient`` — the
+same path an application uses.
 
 Usage (daemon first, then the bench):
 
@@ -27,27 +28,12 @@ warm-rinse request.
 from __future__ import annotations
 
 import argparse
-import base64
 import json
-import socket
 import time
 
 import numpy as np
 
-
-def _connect(args) -> socket.socket:
-    if args.tcp:
-        host, port = args.tcp.rsplit(":", 1)
-        return socket.create_connection((host, int(port)), timeout=600)
-    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-    c.settimeout(600)
-    c.connect(args.socket)
-    return c
-
-
-def _pcm16(wav: np.ndarray) -> str:
-    pcm = np.round(np.clip(wav, -1, 1) * 32767.0).astype("<i2")
-    return base64.b64encode(pcm.tobytes()).decode()
+from vqvae_tpu.client import CodecClient
 
 
 def main() -> None:
@@ -66,42 +52,31 @@ def main() -> None:
     if bool(args.socket) == bool(args.tcp):
         p.error("exactly one of --socket or --tcp is required")
 
-    c = _connect(args)
-    f = c.makefile("rwb")
-
-    def request(req: dict) -> dict:
-        f.write(json.dumps(req).encode() + b"\n")
-        f.flush()
-        resp = json.loads(f.readline())
-        assert resp.get("ok"), resp
-        return resp
-
-    info = request({"op": "ping"})
+    c = CodecClient(socket_path=args.socket, tcp=args.tcp)
+    info = c.ping()
     sr, hop, K = info["sr"], info["hop"], info["K"]
     T = int(args.seconds * sr)
     rng = np.random.default_rng(0)
 
-    def make_req(i: int) -> dict:
+    def fire(i: int) -> None:
         if args.op == "decode":
-            codes = rng.integers(0, K, T // hop).tolist()
-            return {"op": "decode", "codes": codes, "seed": i,
-                    "greedy": args.greedy}
+            c.decode(rng.integers(0, K, T // hop), seed=i,
+                     greedy=args.greedy)
+            return
         t = np.arange(T) / sr
         wav = (0.5 * np.sin(2 * np.pi * (200 + 10 * i) * t)
                ).astype(np.float32)
-        req = {"op": args.op, "pcm16": _pcm16(wav)}
-        if args.op == "reconstruct":
-            req.update(seed=i, greedy=args.greedy)
-        return req
+        if args.op == "encode":
+            c.encode(wav)
+        else:
+            c.reconstruct(wav, seed=i, greedy=args.greedy)
 
-    request(make_req(-1))  # warm rinse (excluded from the stats)
+    fire(-1)  # warm rinse (excluded from the stats)
     lat = []
     for i in range(args.requests):
-        req = make_req(i)
         t0 = time.perf_counter()
-        request(req)
+        fire(i)
         lat.append(time.perf_counter() - t0)
-    f.close()
     c.close()
 
     lat_ms = np.sort(np.asarray(lat) * 1e3)
