@@ -62,6 +62,11 @@ def _run_worker(env, timeout=600):
     base = os.environ.copy()
     base.update(env)
     base["JAX_PLATFORMS"] = "cpu"
+    # the worker runs as a script, so sys.path[0] is tests/, not the
+    # repo root — make the package importable without an install
+    repo_root = os.path.dirname(os.path.dirname(__file__))
+    base["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, base.get("PYTHONPATH")) if p)
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
     proc = subprocess.run(
         [sys.executable, worker], env=base, timeout=timeout,
