@@ -16,8 +16,19 @@ from vqvae_tpu.models.vqvae import init_model
 
 @pytest.fixture(scope="module")
 def setup():
+    """Model params with NONZERO encoder biases: zero-bias init is the
+    one regime where zero input samples and per-layer SAME padding
+    coincide (relu(conv(0) + 0) == 0), which would mask any
+    stream-boundary padding bug — a trained model always has b != 0,
+    and with it the flush window must end exactly at the stream end
+    (infer/enc_streaming.py::_encode final=True)."""
     cfg = get_config("tiny").model
     params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(42)
+    enc = params["encoder"]
+    for layer in enc["layers"] + [enc["proj"]]:
+        layer["b"] = jnp.asarray(rng.normal(0.0, 0.5, layer["b"].shape),
+                                 layer["b"].dtype)
     return params, cfg
 
 

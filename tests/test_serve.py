@@ -199,12 +199,24 @@ def test_python_client(server):
         np.testing.assert_allclose(dec, out, atol=1.0 / 32767)
         with _pytest.raises(ServerError, match="speaker"):
             c.decode(codes, speaker=50)
+        # out-of-range ids must error, not clamp/wrap to a wrong
+        # codebook row (JAX gathers clamp; numpy wraps negatives)
+        with _pytest.raises(ServerError, match="code ids"):
+            c.decode([0, 10_000], greedy=True)
+        with _pytest.raises(ServerError, match="code ids"):
+            c.decode([-5], greedy=True)
         assert c.ping()["ok"]  # connection survives the typed error
 
 
 def test_tcp_transport(server):
     """--tcp host:port serves the identical protocol over TCP."""
-    port = 40000 + os.getpid() % 20000
+    # ask the OS for a free port (a pid-derived pick can collide with
+    # a live listener or a concurrent suite); the tiny close->bind
+    # race is acceptable for a test
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
     boot = (
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "import sys; sys.argv = ['vqvae-serve', '--preset', 'tiny', "

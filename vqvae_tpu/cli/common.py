@@ -116,7 +116,8 @@ def load_params(model_path: str, cfg: Config):
         return params
     ckpt = checkpoint_dir(model_path)
     step = latest_step(ckpt)
-    assert step is not None, f"no checkpoint found under {model_path}"
+    if step is None:
+        raise SystemExit(f"no checkpoint found under {model_path}")
     template = create_train_state(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(ckpt, template, step)
     print(f"restored step {step} from {ckpt}")

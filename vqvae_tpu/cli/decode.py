@@ -53,21 +53,23 @@ def main() -> None:
     cfg = resolve_config(args)
     params = load_params(args.model, cfg)
     raw = np.load(args.input)
-    assert raw.ndim in (1, 2), f"codes must be 1-D or 2-D, got {raw.shape}"
+    if raw.ndim not in (1, 2):  # p.error, not assert: python -O
+        p.error(f"codes must be 1-D or 2-D, got {raw.shape}")
     batched = raw.ndim == 2
     codes = jnp.asarray(raw, jnp.int32)
     if not batched:
         codes = codes[None]
     B = codes.shape[0]
     speakers = args.speaker if len(args.speaker) > 1 else args.speaker * B
-    assert len(speakers) == B, (
-        f"got {len(args.speaker)} speaker ids for {B} code rows")
+    if len(speakers) != B:
+        p.error(f"got {len(args.speaker)} speaker ids for {B} code rows")
     spk = jnp.asarray(speakers)
     key = jax.random.PRNGKey(args.seed)
 
     if args.mesh_data:
-        assert B % args.mesh_data == 0, (
-            f"batch {B} must divide over --mesh-data {args.mesh_data}")
+        if B % args.mesh_data != 0:
+            p.error(f"batch {B} must divide over --mesh-data "
+                    f"{args.mesh_data}")
         from vqvae_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh_data,
                          devices=jax.devices()[:args.mesh_data])

@@ -31,8 +31,9 @@ def _encode_one(params, cfg, path: str, no_trim: bool) -> np.ndarray:
     if not no_trim:
         wav = trim_silence(wav, cfg.data.top_db)
     T = len(wav) - (len(wav) % cfg.model.hop)
-    assert T > 0, (f"{path} is shorter than one latent frame "
-                   f"({cfg.model.hop} samples) after trimming")
+    if T <= 0:  # not assert: must also fire under python -O
+        raise SystemExit(f"{path} is shorter than one latent frame "
+                         f"({cfg.model.hop} samples) after trimming")
     # match the training/generation input distribution: the encoder
     # always sees mu-law-quantised audio (framing/synthesize both
     # round-trip through the companding before encoding)
@@ -74,9 +75,9 @@ def main() -> None:
 
     if args.stack:
         lens = {len(c) for c in all_codes}
-        assert len(lens) == 1, (
-            f"--stack needs equal-length inputs, got code lengths "
-            f"{sorted(len(c) for c in all_codes)}")
+        if len(lens) != 1:
+            p.error(f"--stack needs equal-length inputs, got code "
+                    f"lengths {sorted(len(c) for c in all_codes)}")
         dest = args.output or "codes.npy"
         np.save(dest, np.stack(all_codes))
         print(f"wrote {dest}: [{len(all_codes)}, {lens.pop()}] codes "
@@ -85,9 +86,17 @@ def main() -> None:
 
     outdir = args.output or "codes_out"
     os.makedirs(outdir, exist_ok=True)
-    for path, c in zip(args.input, all_codes):
+    # de-duplicate stems across directories (a/x.wav + b/x.wav must
+    # not silently overwrite each other) — same rule as vqvae-generate
+    names, seen = [], set()
+    for i, path in enumerate(args.input):
         stem = os.path.splitext(os.path.basename(path))[0]
-        np.save(os.path.join(outdir, f"{stem}.npy"), c)
+        name = f"{stem}.npy" if f"{stem}.npy" not in seen \
+            else f"{stem}_{i}.npy"
+        seen.add(name)
+        names.append(name)
+    for name, c in zip(names, all_codes):
+        np.save(os.path.join(outdir, name), c)
     print(f"wrote {len(all_codes)} files to {outdir}/ "
           f"({rate}, K={cfg.model.K})")
 

@@ -36,8 +36,9 @@ def batch_waveforms(wavs, hop):
     """
     lengths = [len(w) - len(w) % hop for w in wavs]
     for i, n in enumerate(lengths):
-        assert n > 0, (f"input {i} is shorter than one latent frame "
-                       f"({hop} samples) after trimming")
+        if n <= 0:  # not assert: must also fire under python -O
+            raise SystemExit(f"input {i} is shorter than one latent "
+                             f"frame ({hop} samples) after trimming")
     t_pad = max(lengths)
     batch = np.zeros((len(wavs), t_pad), np.float32)
     for i, (w, n) in enumerate(zip(wavs, lengths)):
@@ -95,8 +96,9 @@ def main() -> None:
         wavs.append(w)
     speakers = (args.speaker if len(args.speaker) > 1
                 else args.speaker * len(wavs))
-    assert len(speakers) == len(wavs), (
-        f"got {len(args.speaker)} speaker ids for {len(wavs)} inputs")
+    if len(speakers) != len(wavs):
+        p.error(f"got {len(args.speaker)} speaker ids for "
+                f"{len(wavs)} inputs")
     batch, lengths = batch_waveforms(wavs, cfg.model.hop)
 
     out, codes = synthesize(

@@ -57,7 +57,8 @@ def main() -> None:
     params = load_params(args.model, cfg)
     train_ds, valid_ds = make_dataset(cfg, args.dataset, args.root)
     ds = valid_ds if args.split == "valid" else train_ds
-    assert ds is not None, f"no '{args.split}' split in this dataset"
+    if ds is None:
+        p.error(f"no '{args.split}' split in this dataset")
 
     import jax
 

@@ -101,6 +101,12 @@ class Codec:
         codes = np.asarray(codes, np.int32)
         if codes.ndim != 1 or codes.size == 0:
             raise ValueError("codes must be a non-empty 1-D id list")
+        K = self.cfg.model.K
+        if codes.min() < 0 or codes.max() >= K:
+            # JAX gathers clamp (and numpy would wrap negatives), so
+            # out-of-range ids would silently decode the WRONG codebook
+            # rows instead of erroring
+            raise ValueError(f"code ids must be in [0, {K})")
         syn = self._synth(speaker, seed, temperature, greedy)
         C = self.chunk
         pieces = []
@@ -223,7 +229,20 @@ def _bind(path: str | None, tcp: str | None):
         srv.bind((host or "127.0.0.1", int(port)))
         return srv, f"tcp://{host or '127.0.0.1'}:{port}", None
     if os.path.exists(path):
-        os.unlink(path)
+        # only remove a STALE socket: if a daemon is alive on it,
+        # unlinking would leave that daemon running but unreachable
+        # (and its cleanup would later unlink OUR socket)
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            probe.connect(path)
+        except OSError:
+            os.unlink(path)  # nobody listening — stale leftover
+        else:
+            probe.close()
+            raise SystemExit(
+                f"a daemon is already listening on {path}")
+        finally:
+            probe.close()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
     return srv, path, path

@@ -60,7 +60,8 @@ def main() -> None:
 
     wav = codes = None
     if args.input.endswith(".npy"):
-        assert not args.encode_chunk, "--encode-chunk needs a wav input"
+        if args.encode_chunk:
+            p.error("--encode-chunk needs a wav input")
         codes = jnp.asarray(np.load(args.input), jnp.int32)[None]
         n_frames = codes.shape[1]
     else:

@@ -15,10 +15,17 @@ reads inputs ``[lo*s - pad, hi*s + (k-1) - pad]`` with
 (A on the left, carried; B lookahead on the right, awaited) and
 re-encodes a frame-aligned window per push — window-edge padding cannot
 reach an emitted frame's support, so emission is bit-exact vs the
-one-shot path (tests/test_enc_streaming.py).  Frames are additionally
-held back until their support lies inside *completed* hop-multiples, so
-a stream ending mid-frame drops exactly the samples the one-shot
-encoder's hop-trim drops.
+one-shot path (tests/test_enc_streaming.py, including nonzero conv
+biases — the regime where padding semantics actually matter, because
+``relu(conv(0) + b) != 0`` makes zero INPUT samples and per-layer SAME
+padding inequivalent).  Frames are additionally held back until their
+support lies inside *completed* hop-multiples, so a stream ending
+mid-frame drops exactly the samples the one-shot encoder's hop-trim
+drops.  At ``flush`` the window ends EXACTLY at the stream end: the
+held-back tail frames' supports are truncated by the stream boundary,
+where the one-shot computation is defined by each conv layer's SAME
+padding — ending the window at the same absolute sample reproduces
+that padding bit-for-bit (zero-extending the raw input would not).
 
 Device memory is O(window); host buffer is O(A + push + B) samples —
 both constant in stream length.  The latency floor is ``lookahead``
@@ -110,29 +117,46 @@ class StreamingEncoder:
         return self._encode(self.emitted, n_avail, usable)
 
     def flush(self) -> np.ndarray:
-        """Emit the held-back tail frames (right support = zeros, the
-        one-shot SAME padding); the encoder then resets for reuse."""
+        """Emit the held-back tail frames; the encoder then resets.
+
+        The final window ends exactly at the (hop-trimmed) stream end,
+        so the tail frames see the conv stack's own SAME padding at
+        the same absolute positions the one-shot encode applies it."""
         H = self.cfg.hop
-        n_total = (self.total // H * H) // H
+        usable = self.total // H * H
+        n_total = usable // H
         if self.buf is None or n_total <= self.emitted:
             out = np.zeros((1 if self.buf is None
                             else self.buf.shape[0], 0), np.int32)
         else:
-            out = self._encode(self.emitted, n_total,
-                               self.total // H * H)
+            out = self._encode(self.emitted, n_total, usable,
+                               final=True)
         self.buf, self.buf_start, self.total, self.emitted = \
             None, 0, 0, 0
         return out
 
-    def _encode(self, n0: int, n1: int, usable: int) -> np.ndarray:
-        """Encode a frame-aligned window covering frames [n0, n1)."""
+    def _encode(self, n0: int, n1: int, usable: int,
+                final: bool = False) -> np.ndarray:
+        """Encode a frame-aligned window covering frames [n0, n1).
+
+        ``final``: the stream ends at ``usable`` — the window must end
+        THERE so the per-layer SAME padding matches the one-shot
+        encode of the whole stream (zero input samples are NOT
+        equivalent once conv biases are nonzero: relu(conv(0)+b) != 0
+        in the padding region would pollute every frame whose support
+        crosses the stream end)."""
         H = self.cfg.hop
+        if final:
+            w_end = usable
+        else:
+            # mid-stream: every emitted frame's support [nH-A, nH+B]
+            # holds real samples (n_avail guarantees it), so the
+            # window may extend past `usable` with zeros — unread by
+            # construction — to keep push window widths steady
+            w_end = -(-((n1 - 1) * H + self.B + 1) // H) * H
         w_start = max(0, n0 - self.ctx_frames) * H
-        w_end = -(-((n1 - 1) * H + self.B + 1) // H) * H
         window = np.zeros((self.buf.shape[0], w_end - w_start),
                           np.float32)
-        # real samples only up to `usable`; beyond is zero (== the
-        # one-shot right padding at flush; unread during push)
         seg = self.buf[:, w_start - self.buf_start:
                        min(usable, w_end) - self.buf_start]
         window[:, :seg.shape[1]] = seg

@@ -124,16 +124,22 @@ def train(cfg: Config, dataset, out_dir: Optional[str] = None,
             do_eval = (evaluator is not None
                        and (step + 1) % cfg.train.eval_every == 0)
             if do_log or do_eval:
-                # the eval step is collective — every process runs it
-                ev = evaluator(state.params) if do_eval else None
+                rec = sps = None
                 if logger is not None:
                     rec = dict(jax.device_get(metrics))
                     # the device_get above is a sync point, so the
                     # timer interval measures real device throughput,
-                    # not the host's async enqueue rate
-                    # (utils/profiling.py)
+                    # not the host's async enqueue rate — and it is
+                    # closed BEFORE the evaluator runs, so a
+                    # full-split validation pass never deflates the
+                    # reported training rate (utils/profiling.py)
                     sps = timer.tick(step + 1 - timed_to)
                     timed_to = step + 1
+                # the eval step is collective — every process runs it
+                ev = evaluator(state.params) if do_eval else None
+                if do_eval:
+                    timer.reset()  # keep eval out of the NEXT interval
+                if logger is not None:
                     if sps is not None:
                         rec["steps_per_sec"] = sps
                     if ev is not None:

@@ -60,3 +60,10 @@ class StepTimer:
         self.ema = dt if self.ema is None else \
             (1 - self.alpha) * self.ema + self.alpha * dt
         return 1.0 / self.ema if self.ema else None
+
+    def reset(self) -> None:
+        """Restart the current interval without recording it — call
+        after non-training work at a tick boundary (e.g. a validation
+        pass) so its wall time never deflates a training interval."""
+        if self._last is not None:
+            self._last = time.perf_counter()
