@@ -17,10 +17,13 @@ BENCH_r*.json is a witness, not a prose claim (VERDICT round 1):
   pallas_sampling — the fused decode kernel run in stochastic-sampling
                     mode on the real TPU: ids full-range and
                     seed-sensitive
+  serving         — warm request latency through the real vqvae-serve
+                    stack (in-process daemon thread + CodecClient over
+                    a UNIX socket) on the flagship model
 
 Env knobs: BENCH_SECONDS, BENCH_BATCH, BENCH_TRAIN=0, BENCH_PALLAS=0,
-BENCH_TRAIN_BATCH, BENCH_DEVICE_TIMEOUT (seconds before the
-device-init watchdog fails the run with a JSON error line).
+BENCH_SERVE=0, BENCH_TRAIN_BATCH, BENCH_DEVICE_TIMEOUT (seconds before
+the device-init watchdog fails the run with a JSON error line).
 """
 
 from __future__ import annotations
@@ -255,6 +258,68 @@ def _witness_kernel_parity() -> dict:
     return out
 
 
+def _witness_serving() -> dict:
+    """Request latency through the REAL serving stack on the flagship
+    model: the vqvae-serve loop runs on a thread in THIS process (one
+    device owner, so it composes with the rest of the bench), and a
+    CodecClient talks to it over an actual UNIX socket — the same
+    wire path scripts/serve_bench.py and applications use.  Records
+    warm per-request decode latency for 1 s of audio (p50/p95 over 10
+    requests) and the realtime factor, plus one warm encode latency.
+    """
+    if jax.devices()[0].platform != "tpu":
+        return {"skipped": "requires tpu"}
+    import tempfile
+    import threading
+
+    from vqvae_tpu.cli.serve import Codec, serve
+    from vqvae_tpu.client import CodecClient
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.models import init_model
+
+    cfg = get_config("vctk-multi")
+    params = init_model(jax.random.PRNGKey(0), cfg.model)
+    codec = Codec(params, cfg, chunk=16)
+    codec.warmup()
+    path = tempfile.mktemp(suffix=".sock")
+    threading.Thread(target=serve, args=(codec, path),
+                     kwargs={"idle_timeout": 120.0},
+                     daemon=True).start()
+    deadline = time.time() + 60
+    while not os.path.exists(path):
+        if time.time() > deadline:
+            return {"ok": False, "error": "daemon socket never appeared"}
+        time.sleep(0.05)
+
+    rng = np.random.default_rng(0)
+    out: dict = {}
+    with CodecClient(socket_path=path) as c:
+        info = c.ping()
+        sr, hop, K = info["sr"], info["hop"], info["K"]
+        codes = rng.integers(0, K, sr // hop)      # 1.0 s of audio
+        c.decode(codes, seed=99)                   # warm rinse
+        lat = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            c.decode(codes, seed=i)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.sort(np.asarray(lat) * 1e3)
+        p50 = float(np.percentile(lat_ms, 50))
+        out["decode_1s_p50_ms"] = round(p50, 1)
+        out["decode_1s_p95_ms"] = round(float(np.percentile(lat_ms, 95)),
+                                        1)
+        out["decode_realtime_x"] = round(1000.0 / p50, 2)
+        wav = (0.4 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+               ).astype(np.float32)
+        c.encode(wav)                              # warm rinse
+        t0 = time.perf_counter()
+        c.encode(wav)
+        out["encode_1s_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        c.shutdown()
+    out["ok"] = bool(out["decode_realtime_x"] > 1.0)
+    return out
+
+
 def _device_watchdog(timeout_s: float):
     """Fail fast (one JSON error line) if device init never completes.
 
@@ -310,6 +375,11 @@ def main() -> None:
             rec["kernel_parity"] = _witness_kernel_parity()
         except Exception as exc:  # noqa: BLE001
             rec["kernel_parity"] = {"ok": False, "error": repr(exc)}
+    if os.environ.get("BENCH_SERVE", "1") != "0":
+        try:
+            rec["serving"] = _witness_serving()
+        except Exception as exc:  # noqa: BLE001
+            rec["serving"] = {"ok": False, "error": repr(exc)}
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             rec["training"] = _bench_training()

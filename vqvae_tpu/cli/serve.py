@@ -257,8 +257,11 @@ def serve(codec: Codec, path: str | None,
     srv.settimeout(0.2)
     lock, stop = threading.Lock(), threading.Event()
     # SIGTERM (systemd/k8s stop) must run the finally block so a
-    # UNIX socket path never leaks into the next start
-    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    # UNIX socket path never leaks into the next start. Only the main
+    # thread may install handlers — when embedded on a worker thread
+    # (bench.py's serving witness) the host process owns signals.
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
     print(f"ready on {label}", flush=True)
     try:
         while not stop.is_set():

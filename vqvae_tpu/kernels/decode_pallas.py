@@ -27,7 +27,7 @@ Two modes sharing one body:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,32 @@ from vqvae_tpu.models.wavenet import GenParams
 CHUNK = 128  # AR steps per grid iteration
 
 
+class DecodeState(NamedTuple):
+    """Carried kernel state for resumable generation: everything the
+    one-shot kernel keeps in VMEM scratch across its chunk grid, plus
+    the absolute sample offset (which indexes the in-kernel PRNG
+    stream, so a resumed run draws the SAME Gumbel noise the one-shot
+    kernel would at that point in the sequence)."""
+    t0: jax.Array    # [] int32 — absolute step offset, CHUNK-aligned
+    bufs: jax.Array  # [sum(dilations), B, R] — per-layer ring buffers
+    pe0: jax.Array   # [B, R] — emb0[x_{t-1}] pre-projection
+    xoh: jax.Array   # [B, mu] — one-hot of the last sampled id
+
+
+def init_decode_state(cfg: ModelConfig, B: int,
+                      dtype=jnp.bfloat16) -> DecodeState:
+    """State at t=0: zero buffers, digital-silence (mu//2) last id —
+    exactly the one-shot kernel's in-kernel init (_body's _init)."""
+    _, total = _offsets(cfg)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, cfg.mu), 1)
+    return DecodeState(
+        t0=jnp.zeros((), jnp.int32),
+        bufs=jnp.zeros((total, B, cfg.residual_channels), dtype),
+        pe0=jnp.zeros((B, cfg.residual_channels), dtype),
+        xoh=(iota == (cfg.mu // 2)).astype(dtype),
+    )
+
+
 def _offsets(cfg: ModelConfig) -> Tuple[Tuple[int, ...], int]:
     offs, acc = [], 0
     for d in cfg.dilations:
@@ -48,16 +74,25 @@ def _offsets(cfg: ModelConfig) -> Tuple[Tuple[int, ...], int]:
     return tuple(offs), acc
 
 
-def _body(cfg: ModelConfig, sample: bool, greedy: bool,
-          # inputs
-          seed_ref, temp_ref, cond_ref, ids_in_ref,
-          wff_ref, wrs_ref, vc_ref, brs_ref,
-          emb0_ref, emb1_ref, embb_ref, gcond_ref,
-          h1_ref, b1_ref, h2_ref, b2_ref,
-          # outputs
-          out_ref,
-          # scratch
-          bufs_ref, xoh_ref, pe0_ref, gum_ref):
+def _body(cfg: ModelConfig, sample: bool, greedy: bool, resume: bool,
+          *refs):
+    # Unpack: resume mode adds a t0 scalar, the carried-in state
+    # (bufs/pe0/xoh), and state outputs alongside the ids.
+    if resume:
+        (seed_ref, temp_ref, t0_ref, cond_ref, ids_in_ref,
+         bufs0_ref, pe00_ref, xoh0_ref,
+         wff_ref, wrs_ref, vc_ref, brs_ref,
+         emb0_ref, emb1_ref, embb_ref, gcond_ref,
+         h1_ref, b1_ref, h2_ref, b2_ref,
+         out_ref, bufs1_ref, pe01_ref, xoh1_ref,
+         bufs_ref, xoh_ref, pe0_ref, gum_ref) = refs
+    else:
+        (seed_ref, temp_ref, cond_ref, ids_in_ref,
+         wff_ref, wrs_ref, vc_ref, brs_ref,
+         emb0_ref, emb1_ref, embb_ref, gcond_ref,
+         h1_ref, b1_ref, h2_ref, b2_ref,
+         out_ref,
+         bufs_ref, xoh_ref, pe0_ref, gum_ref) = refs
     R = cfg.residual_channels
     S = cfg.skip_channels
     mu = cfg.mu
@@ -67,21 +102,32 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
     dils = cfg.dilations
     i = pl.program_id(0)
     B = xoh_ref.shape[0]
+    # absolute step offset of this call (resume: CHUNK-aligned, so the
+    # per-chunk PRNG stream below matches the one-shot kernel exactly)
+    t0 = t0_ref[0, 0] if resume else 0
 
     @pl.when(i == 0)
     def _init():
-        bufs_ref[:] = jnp.zeros(bufs_ref.shape, bufs_ref.dtype)
-        pe0_ref[:] = jnp.zeros(pe0_ref.shape, pe0_ref.dtype)
-        # seed stream starts from digital silence (id mu//2)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (B, mu), 1)
-        xoh_ref[:] = (iota == (mu // 2)).astype(cdt)
+        if resume:
+            bufs_ref[:] = bufs0_ref[:]
+            pe0_ref[:] = pe00_ref[:]
+            xoh_ref[:] = xoh0_ref[:]
+        else:
+            bufs_ref[:] = jnp.zeros(bufs_ref.shape, bufs_ref.dtype)
+            pe0_ref[:] = jnp.zeros(pe0_ref.shape, pe0_ref.dtype)
+            # seed stream starts from digital silence (id mu//2)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B, mu), 1)
+            xoh_ref[:] = (iota == (mu // 2)).astype(cdt)
 
     if sample and not greedy:
         # Batch the whole chunk's Gumbel noise up front: the two VPU
         # log()s run once over [CHUNK, B, mu] instead of sitting on the
         # per-step critical path.  (>>8 keeps 24 bits, which fit exactly
         # in both int32 and f32 mantissa; Mosaic lacks uint32->f32.)
-        pltpu.prng_seed(seed_ref[0, 0] + i)
+        # The seed is indexed by the ABSOLUTE chunk number, so a
+        # resumed call at t0 = k*CHUNK draws the same noise the
+        # one-shot kernel would at that point in the stream.
+        pltpu.prng_seed(seed_ref[0, 0] + t0 // CHUNK + i)
         bits = pltpu.prng_random_bits((CHUNK, B, mu))
         u01 = (pltpu.bitcast(
             jax.lax.shift_right_logical(
@@ -90,7 +136,7 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
         gum_ref[:] = -jnp.log(-jnp.log(u01))
 
     def step(s, _):
-        t = i * CHUNK + s
+        t = t0 + i * CHUNK + s
         if sample:
             # one-hot of the id sampled at step t-1 (init: mu//2)
             xoh = xoh_ref[:]                               # [B, mu]
@@ -169,6 +215,13 @@ def _body(cfg: ModelConfig, sample: bool, greedy: bool,
 
     jax.lax.fori_loop(0, CHUNK, step, None)
 
+    if resume:
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _export_state():
+            bufs1_ref[:] = bufs_ref[:]
+            pe01_ref[:] = pe0_ref[:]
+            xoh1_ref[:] = xoh_ref[:]
+
 
 def _pack_inputs(gp: GenParams, gcond: jax.Array, cfg: ModelConfig):
     cdt = gp.wff.dtype
@@ -224,7 +277,7 @@ def generate_ids_pallas(gp: GenParams, cfg: ModelConfig,
         cond_tm = jnp.pad(cond_tm, ((0, Tp - T), (0, 0), (0, 0)))
 
     grid = (Tp // CHUNK,)
-    kernel = functools.partial(_body, cfg, True, greedy)
+    kernel = functools.partial(_body, cfg, True, greedy, False)
     ids = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp, B, 1), jnp.int32),
@@ -261,6 +314,98 @@ def generate_ids_pallas(gp: GenParams, cfg: ModelConfig,
     return jnp.swapaxes(ids[:T, :, 0], 0, 1)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "greedy", "interpret"),
+                   donate_argnames=("state",))
+def generate_ids_pallas_resume(gp: GenParams, cfg: ModelConfig,
+                               cond: jax.Array, gcond: jax.Array,
+                               seed: jax.Array, temperature: jax.Array,
+                               state: DecodeState,
+                               greedy: bool = False,
+                               interpret: bool | None = None
+                               ) -> Tuple[jax.Array, DecodeState]:
+    """Resumable slice of ``generate_ids_pallas``: sample ``[B, T]``
+    ids for the next T cond samples, carrying ring-buffer state across
+    calls.  T must be a multiple of CHUNK and state.t0 CHUNK-aligned;
+    then feeding the same total cond through any sequence of resumed
+    calls is BIT-IDENTICAL to one one-shot call (same weights-in-VMEM
+    layout, same per-chunk PRNG stream indexed by absolute chunk
+    number — tested in tests/test_decode_resume.py).  This is the
+    serving decode path: the daemon pushes fixed-size cond slices
+    through one warm compiled program regardless of request length.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, d = cond.shape
+    if T % CHUNK != 0:
+        raise ValueError(f"resumable push must be a multiple of "
+                         f"CHUNK={CHUNK} samples, got {T}")
+    _, total = _offsets(cfg)
+    cond_tm = jnp.swapaxes(cond, 0, 1).astype(gp.wff.dtype)  # [T, B, d]
+    R = cfg.residual_channels
+    mu = cfg.mu
+    cdt = gp.wff.dtype
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    grid = (T // CHUNK,)
+    kernel = functools.partial(_body, cfg, True, greedy, True)
+    ids, bufs1, pe01, xoh1 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((total, B, R), cdt),
+            jax.ShapeDtypeStruct((B, R), cdt),
+            jax.ShapeDtypeStruct((B, mu), cdt),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # seed
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # temperature
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # t0
+            pl.BlockSpec((CHUNK, B, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # cond chunk
+            pl.BlockSpec((CHUNK, B, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),       # ids_in (unused)
+            const(total, B, R),                          # bufs in
+            const(B, R),                                 # pe0 in
+            const(B, mu),                                # xoh in
+            *_specs(cfg, B, cdt),
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK, B, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(total, B, R),                          # bufs out
+            const(B, R),                                 # pe0 out
+            const(B, mu),                                # xoh out
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((total, B, R), cdt),
+            pltpu.VMEM((B, mu), cdt),
+            pltpu.VMEM((B, R), cdt),
+            pltpu.VMEM((CHUNK, B, mu), jnp.float32),     # gumbel
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+        jnp.asarray(state.t0, jnp.int32).reshape(1, 1),
+        cond_tm,
+        jnp.zeros((T, B, 1), jnp.int32),
+        state.bufs, state.pe0, state.xoh,
+        *_pack_inputs(gp, gcond, cfg),
+    )
+    new_state = DecodeState(t0=state.t0 + T, bufs=bufs1, pe0=pe01,
+                            xoh=xoh1)
+    return jnp.swapaxes(ids[:, :, 0], 0, 1), new_state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def teacher_logits_pallas(gp: GenParams, cfg: ModelConfig,
                           ids_in: jax.Array, cond: jax.Array,
@@ -279,7 +424,7 @@ def teacher_logits_pallas(gp: GenParams, cfg: ModelConfig,
         ids_p = jnp.pad(ids_p, ((0, Tp - T), (0, 0), (0, 0)))
 
     grid = (Tp // CHUNK,)
-    kernel = functools.partial(_body, cfg, False, False)
+    kernel = functools.partial(_body, cfg, False, False, False)
     logits = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp, B, cfg.mu), jnp.float32),
