@@ -279,7 +279,7 @@ def _witness_serving() -> dict:
 
     cfg = get_config("vctk-multi")
     params = init_model(jax.random.PRNGKey(0), cfg.model)
-    codec = Codec(params, cfg, chunk=16)
+    codec = Codec(params, cfg, chunk=16, engine="pallas")
     codec.warmup()
     path = tempfile.mktemp(suffix=".sock")
     threading.Thread(target=serve, args=(codec, path),
@@ -316,6 +316,20 @@ def _witness_serving() -> dict:
         c.encode(wav)
         out["encode_1s_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         c.shutdown()
+    # the XLA-scan engine, same wire path, for the comparison number
+    codec.engine = "stream"
+    for g in (True, False):
+        codec.decode(np.zeros(33, np.int32), greedy=g)  # warm set
+        codec.decode(np.zeros(1, np.int32), greedy=g)
+    codec.decode(codes, seed=99)
+    lat = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        codec.decode(codes, seed=i)
+        lat.append(time.perf_counter() - t0)
+    out["stream_engine_decode_1s_p50_ms"] = round(
+        float(np.percentile(np.asarray(lat) * 1e3, 50)), 1)
+    out["engine"] = "pallas"
     out["ok"] = bool(out["decode_realtime_x"] > 1.0)
     return out
 

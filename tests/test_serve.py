@@ -278,3 +278,30 @@ def test_bad_request_keeps_daemon_alive(server):
     # gathers clamp out of range: must error, not serve a wrong voice
     assert spk["ok"] is False and "speaker" in spk["error"]
     assert ping["ok"] is True  # same connection still served
+
+
+def test_pallas_engine_codec_matches_oneshot(server):
+    """Codec(engine='pallas') — the daemon's TPU fast path — decodes
+    bit-identical to the one-shot pallas engine (in-process: the
+    daemon wraps exactly this Codec.decode call; the wire path is
+    covered by the stream-engine socket tests above)."""
+    import jax
+    import jax.numpy as jnp
+    from vqvae_tpu.cli.common import load_params
+    from vqvae_tpu.cli.serve import Codec, handle
+    from vqvae_tpu.configs import get_config
+    from vqvae_tpu.infer import decode_from_codes
+
+    cfg = get_config("tiny")
+    params = load_params(server["run"], cfg)
+    codec = Codec(params, cfg, chunk=4, engine="pallas")
+    codec.warmup()  # CPU: greedy-only warm set must not crash
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, 128, 11).astype(np.int32)
+    got = codec.decode(codes, speaker=1, seed=3, greedy=True)
+    want = np.asarray(decode_from_codes(
+        params, cfg.model, jnp.asarray(codes)[None], jnp.asarray([1]),
+        jax.random.PRNGKey(3), greedy=True, impl="pallas"))[0]
+    assert np.array_equal(got, want)
+    r = handle(codec, {"op": "ping"})
+    assert r["engine"] == "pallas"

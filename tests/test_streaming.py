@@ -65,7 +65,7 @@ def test_streaming_constant_state_size():
     for i in range(8):
         s.push(codes[:, i:i + 1])
         sizes.append(sum(b.size for b in s.state.bufs)
-                     + s._carry.size)
+                     + s._ups._carry.size)
     assert len(set(sizes)) == 1  # state never grows with output length
 
 

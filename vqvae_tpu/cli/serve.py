@@ -6,13 +6,15 @@ part is jit compilation, so the serving-shaped design is one
 long-lived process that compiles a FIXED set of shapes once and then
 answers every request warm:
 
-* decode runs through ``infer/streaming.StreamingSynthesizer`` as
-  steady ``chunk``-frame pushes plus single-frame pushes for the
-  ragged tail — a FIXED set of compiled programs (first/steady
-  C-frame steps, first/tail 1-frame steps, flush; all warmed for both
-  greedy and sampled) serves any code length, and the output is
-  bit-identical to the one-shot engines at equal seed (the
-  fold_in(key, t) sampling contract).
+* decode runs through one of two warm engines (``--engine``):
+  'pallas' (TPU default) drives the RESUMABLE fused decode kernel
+  (``infer/pallas_stream``) in fixed ``chunk*hop``-sample pushes —
+  kernel-speed steps, bit-identical to the one-shot pallas engine at
+  equal seed; 'stream' is ``infer/streaming.StreamingSynthesizer`` as
+  steady ``chunk``-frame pushes plus single-frame tail pushes —
+  bit-identical to the one-shot XLA engines at equal seed (the
+  fold_in(key, t) sampling contract).  Either way a FIXED set of
+  compiled programs serves any code length.
 * encode runs through ``infer/enc_streaming.StreamingEncoder`` in
   fixed ``chunk*hop``-sample pushes — bit-identical to one-shot encode
   by its exactness contract.  The steady-state windows are warmed;
@@ -70,10 +72,28 @@ def float_to_pcm16(wav: np.ndarray) -> str:
 
 
 class Codec:
-    """The warm engine pair behind the socket loop."""
+    """The warm engine pair behind the socket loop.
 
-    def __init__(self, params, cfg, chunk: int = 16):
+    ``engine`` picks the decode path: 'stream' is the XLA-scan
+    StreamingSynthesizer; 'pallas' is the resumable fused kernel
+    (infer/pallas_stream) — ~4x faster per step at B=1, bit-identical
+    to the one-shot pallas engine at equal seed.  Greedy output is
+    identical across engines; SAMPLED output differs between them
+    (in-kernel Gumbel-max vs fold_in categoricals — two valid
+    samplers, each pinned against its own one-shot counterpart).
+    'pallas' sampling needs the TPU PRNG, so on CPU it serves greedy
+    only (a sampled request returns an error response).
+    """
+
+    def __init__(self, params, cfg, chunk: int = 16,
+                 engine: str = "stream",
+                 kernel_frames: int | None = None):
+        if engine not in ("stream", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.params, self.cfg, self.chunk = params, cfg, chunk
+        self.engine = engine
+        self.kernel_frames = kernel_frames  # None = measured-best
+        self._pallas_cache = {}   # greedy -> warm PallasStreamDecoder
 
     def _synth(self, speaker: int, seed: int, temperature: float,
                greedy: bool):
@@ -107,6 +127,20 @@ class Codec:
             # out-of-range ids would silently decode the WRONG codebook
             # rows instead of erroring
             raise ValueError(f"code ids must be in [0, {K})")
+        if self.engine == "pallas":
+            # decoders are stateless across requests (fresh kernel
+            # state per decode) and expensive to build (weight
+            # repacking), so cache one per greedy mode
+            dec = self._pallas_cache.get(greedy)
+            if dec is None:
+                from vqvae_tpu.infer.pallas_stream import \
+                    PallasStreamDecoder
+                dec = PallasStreamDecoder(
+                    self.params, self.cfg.model, greedy, self.chunk,
+                    self.kernel_frames)
+                self._pallas_cache[greedy] = dec
+            return dec.decode(codes[None], jnp.asarray([speaker]),
+                              jax.random.PRNGKey(seed), temperature)[0]
         syn = self._synth(speaker, seed, temperature, greedy)
         C = self.chunk
         pieces = []
@@ -138,7 +172,10 @@ class Codec:
         first occurrence, persisted in the on-disk XLA cache.
         """
         hop, C = self.cfg.model.hop, self.chunk
-        for greedy in (True, False):
+        greedies = (True, False)
+        if self.engine == "pallas" and jax.default_backend() == "cpu":
+            greedies = (True,)   # interpret mode has no TPU PRNG
+        for greedy in greedies:
             self.decode(np.zeros(2 * C + 1, np.int32), greedy=greedy)
             self.decode(np.zeros(1, np.int32), greedy=greedy)
         self.encode(np.zeros(3 * C * hop + hop + 37, np.float32))
@@ -160,7 +197,8 @@ def handle(codec: Codec, req: dict) -> dict:
         m = codec.cfg.model
         return {"ok": True, "sr": codec.cfg.data.sr, "hop": m.hop,
                 "K": m.K, "mu": m.mu, "n_speakers": m.n_speakers,
-                "preset": codec.cfg.name, "chunk": codec.chunk}
+                "preset": codec.cfg.name, "chunk": codec.chunk,
+                "engine": codec.engine}
     if op == "encode":
         codes = codec.encode(pcm16_to_float(req["pcm16"]))
         return {"ok": True, "codes": codes.tolist()}
@@ -295,6 +333,14 @@ def main() -> None:
                         "(e.g. 127.0.0.1:7070)")
     p.add_argument("--chunk", type=int, default=16,
                    help="code frames per compiled decode step")
+    p.add_argument("--engine", choices=("auto", "stream", "pallas"),
+                   default="auto",
+                   help="decode engine: 'pallas' = resumable fused "
+                        "kernel (TPU fast path), 'stream' = XLA scan; "
+                        "'auto' picks pallas on TPU, stream elsewhere")
+    p.add_argument("--kernel-frames", type=int, default=None,
+                   help="code frames per pallas-engine kernel push "
+                        "(default: measured-best 64 on TPU)")
     p.add_argument("--idle-timeout", type=float, default=300.0,
                    help="disconnect a client after this many idle "
                         "seconds (it may reconnect)")
@@ -304,7 +350,12 @@ def main() -> None:
 
     cfg = resolve_config(args)
     params = load_params(args.model, cfg)
-    codec = Codec(params, cfg, args.chunk)
+    engine = args.engine
+    if engine == "auto":
+        engine = ("pallas" if jax.default_backend() == "tpu"
+                  else "stream")
+    print(f"decode engine: {engine}", flush=True)
+    codec = Codec(params, cfg, args.chunk, engine, args.kernel_frames)
     print("warming serving shapes...", flush=True)
     codec.warmup()
     serve(codec, args.socket, args.idle_timeout, args.tcp)

@@ -96,35 +96,29 @@ def _upsample_chunk_jit(up_w, up_b, codebook, codes, carry,
     return out + up_b, new_carry
 
 
-class StreamingSynthesizer:
-    """Push VQ code frames, pull waveform — constant device memory.
+class CondUpsampler:
+    """Chunked exact local-condition upsampling: push code frames,
+    get the cond samples each chunk finalizes — bit-identical to the
+    one-shot ``upsample_cond`` (the overlap-add exactness contract in
+    the module docstring).  Shared by the XLA-scan synthesizer below
+    and the resumable-Pallas serving decoder (infer/pallas_stream)."""
 
-    >>> s = StreamingSynthesizer(params, cfg, speaker, key)
-    >>> wav_pieces = [s.push(codes_chunk) for codes_chunk in chunks]
-    >>> wav_pieces.append(s.flush())
-    """
-
-    def __init__(self, params: Dict, cfg: ModelConfig,
-                 speaker: jax.Array, key: jax.Array,
-                 temperature: float = 1.0, greedy: bool = False):
+    def __init__(self, params: Dict, cfg: ModelConfig):
         # the overlap-add carry is one hop and the SAME crop is hop/2
         # per side only for a kernel of exactly 2*hop
         assert cfg.upsample_kernel_mult == 2, cfg.upsample_kernel_mult
         self.cfg = cfg
-        self.gp, self.gcond = _prepare(params["decoder"], cfg, speaker)
         self.codebook = params["vq"]["codebook"]
         self.up_w = params["decoder"]["upsample"]["w"].astype(cfg.cdtype)
         self.up_b = params["decoder"]["upsample"]["b"].astype(cfg.cdtype)
-        self.temperature = temperature
-        self.greedy = greedy
-        self.key = key
-        B = speaker.shape[0]
-        self.state = init_gen_state(cfg, B)
-        self.x_t = jnp.full((B,), cfg.mu // 2, jnp.int32)
         self._carry: Optional[jax.Array] = None   # [B, hop, d]
         self._first = True
 
-    def _upsample_chunk(self, codes: jax.Array) -> jax.Array:
+    def reset(self) -> None:
+        """Back to stream start (a new request on a reused instance)."""
+        self._carry, self._first = None, True
+
+    def push(self, codes: jax.Array) -> jax.Array:
         """VALID transposed conv + overlap-add; returns the cond samples
         finalized by this chunk (C*hop, minus hop//2 on the first)."""
         has_carry = self._carry is not None
@@ -136,9 +130,39 @@ class StreamingSynthesizer:
         self._first = False
         return out
 
+    def flush(self) -> jax.Array:
+        """The final ``hop - hop//2`` cond samples (the SAME-crop tail)."""
+        hop = self.cfg.hop
+        assert self._carry is not None, "flush before any push"
+        cond = self._carry[:, :hop - hop // 2] + self.up_b
+        self._carry = None
+        return cond
+
+
+class StreamingSynthesizer:
+    """Push VQ code frames, pull waveform — constant device memory.
+
+    >>> s = StreamingSynthesizer(params, cfg, speaker, key)
+    >>> wav_pieces = [s.push(codes_chunk) for codes_chunk in chunks]
+    >>> wav_pieces.append(s.flush())
+    """
+
+    def __init__(self, params: Dict, cfg: ModelConfig,
+                 speaker: jax.Array, key: jax.Array,
+                 temperature: float = 1.0, greedy: bool = False):
+        self.cfg = cfg
+        self.gp, self.gcond = _prepare(params["decoder"], cfg, speaker)
+        self._ups = CondUpsampler(params, cfg)
+        self.temperature = temperature
+        self.greedy = greedy
+        self.key = key
+        B = speaker.shape[0]
+        self.state = init_gen_state(cfg, B)
+        self.x_t = jnp.full((B,), cfg.mu // 2, jnp.int32)
+
     def push(self, codes: jax.Array) -> jax.Array:
         """codes ``[B, C]`` -> waveform ``[B, ~C*hop]`` float32."""
-        cond = self._upsample_chunk(codes)
+        cond = self._ups.push(codes)
         self.state, self.x_t, ids = _stream_chunk(
             self.gp, self.cfg, self.state, self.x_t, self.key, cond,
             self.gcond, self.temperature, self.greedy)
@@ -147,12 +171,9 @@ class StreamingSynthesizer:
 
     def flush(self) -> jax.Array:
         """Emit the final ``hop - hop//2`` samples (the SAME-crop tail)."""
-        hop = self.cfg.hop
-        assert self._carry is not None, "flush before any push"
-        cond = self._carry[:, :hop - hop // 2] + self.up_b
+        cond = self._ups.flush()
         self.state, self.x_t, ids = _stream_chunk(
             self.gp, self.cfg, self.state, self.x_t, self.key, cond,
             self.gcond, self.temperature, self.greedy)
-        self._carry = None
         return mu_law_decode_jit(ids, self.cfg.mu,
                                  mode=self.cfg.mulaw_mode)
