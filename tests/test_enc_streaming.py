@@ -121,3 +121,17 @@ def test_reuse_after_flush_and_chainer_mode(setup):
     b = np.concatenate([enc.push(wav), enc.flush()], axis=1)  # reused
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(a, one_shot(params, cfg_ch, wav))
+
+
+def test_whole_request_single_push(setup):
+    """The serving daemon's pattern: the WHOLE request as one push +
+    flush.  Streams long enough to cross the power-of-two window
+    bucketing (width > 1024: _encode pads the window right with zeros
+    no emitted frame's support reaches) must still be bit-exact."""
+    params, cfg = setup
+    rng = np.random.default_rng(7)
+    for T in (40 * cfg.hop, 77 * cfg.hop + 31, 130 * cfg.hop + 1):
+        wav = (rng.standard_normal((1, T)) * 0.3
+               ).astype(np.float32).clip(-1, 1)
+        np.testing.assert_array_equal(
+            stream(params, cfg, wav, [T]), one_shot(params, cfg, wav))

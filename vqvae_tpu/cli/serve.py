@@ -105,14 +105,14 @@ class Codec:
     def encode(self, wav: np.ndarray) -> np.ndarray:
         # a fresh encoder per request: no state can leak between
         # requests (construction is host-side and free; the jit cache
-        # carries the warmth)
+        # carries the warmth).  The WHOLE request goes in as one push:
+        # the encoder buckets its windows to powers of two (zeros
+        # beyond the stream are unread by construction), so this costs
+        # ~2 device round trips per request instead of 2 per
+        # chunk*hop-sample slice, from a log-bounded warm program set.
         from vqvae_tpu.infer.enc_streaming import StreamingEncoder
         enc = StreamingEncoder(self.params, self.cfg.model)
-        hop, C = self.cfg.model.hop, self.chunk
-        pieces = []
-        for i in range(0, len(wav), C * hop):
-            pieces.append(enc.push(wav[None, i:i + C * hop]))
-        pieces.append(enc.flush())
+        pieces = [enc.push(wav[None]), enc.flush()]
         return np.concatenate(pieces, axis=1)[0]
 
     def decode(self, codes: np.ndarray, speaker: int = 0,
@@ -165,11 +165,12 @@ class Codec:
         (non-first) C-frame push, first and non-first 1-frame pushes,
         and flush — ``2*C+1`` codes hits all the non-first ones plus
         both C-push variants, ``1`` code hits the first-1-frame one;
-        each for greedy and sampled.  Encode: 3 full chunks + a ragged
-        tail covers the first and steady window widths plus the
-        mu-law bucket; flush windows vary with the residual frame
-        count (a small bounded set, <= chunk widths) and compile on
-        first occurrence, persisted in the on-disk XLA cache.
+        each for greedy and sampled.  Encode: a request is ONE push
+        whose window/mu-law widths bucket to powers of two (a
+        log-bounded set; the two calls below warm the small-request
+        and one-second buckets); flush windows vary with the residual
+        frame count (a small bounded set) and compile on first
+        occurrence, persisted in the on-disk XLA cache.
         """
         hop, C = self.cfg.model.hop, self.chunk
         greedies = (True, False)
@@ -179,6 +180,10 @@ class Codec:
             self.decode(np.zeros(2 * C + 1, np.int32), greedy=greedy)
             self.decode(np.zeros(1, np.int32), greedy=greedy)
         self.encode(np.zeros(3 * C * hop + hop + 37, np.float32))
+        # ...and the one-second window/mu-law buckets (encode buckets
+        # are log-bounded in request size; others compile once and
+        # persist in the on-disk cache)
+        self.encode(np.zeros(self.cfg.data.sr, np.float32))
 
 
 def _speaker(codec: Codec, req: dict) -> int:

@@ -92,12 +92,16 @@ class StreamingEncoder:
         (m may be 0 while the lookahead fills)."""
         chunk = np.atleast_2d(np.asarray(samples, np.float32))
         # the training/generation input distribution: mu-law round-trip
-        # (elementwise — chunking-exact).  Pad to 128-sample buckets
-        # and slice back: elementwise means the pad never leaks, and
-        # the jit program count stays bounded instead of one program
-        # per distinct push length (each a compile on a tunneled TPU)
+        # (elementwise — chunking-exact).  Pad to buckets (128-sample
+        # steps up to 1024, then powers of two) and slice back:
+        # elementwise means the pad never leaks, and the jit program
+        # count stays LOG-bounded in push size instead of one program
+        # per distinct push length (each a compile on a tunneled TPU) —
+        # so a daemon may push a whole request at once
         n = chunk.shape[1]
         nb = max(128, -(-n // 128) * 128)
+        if nb > 1024:
+            nb = 1 << (nb - 1).bit_length()
         padded = np.zeros((chunk.shape[0], nb), np.float32)
         padded[:, :n] = chunk
         chunk = np.asarray(
@@ -155,8 +159,16 @@ class StreamingEncoder:
             # construction — to keep push window widths steady
             w_end = -(-((n1 - 1) * H + self.B + 1) // H) * H
         w_start = max(0, n0 - self.ctx_frames) * H
-        window = np.zeros((self.buf.shape[0], w_end - w_start),
-                          np.float32)
+        width = w_end - w_start
+        if not final and width > 1024:
+            # bucket wide windows to powers of two (hop-aligned): the
+            # extension is zeros to the RIGHT of w_end, which no
+            # emitted frame's support reaches (same argument as the
+            # w_end rounding above, proven by the exactness tests) —
+            # this keeps the compiled-program set log-bounded, so a
+            # serving daemon can encode a whole request as one push
+            width = -(-(1 << (width - 1).bit_length()) // H) * H
+        window = np.zeros((self.buf.shape[0], width), np.float32)
         seg = self.buf[:, w_start - self.buf_start:
                        min(usable, w_end) - self.buf_start]
         window[:, :seg.shape[1]] = seg
