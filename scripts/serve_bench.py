@@ -77,6 +77,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fire(i)
         lat.append(time.perf_counter() - t0)
+    # daemon-side accounting for the same window: its percentiles are
+    # measured around the device lock, so client-minus-daemon p50 is
+    # the transport + protocol overhead
+    daemon = c.stats().get("ops", {}).get(args.op, {})
     c.close()
 
     lat_ms = np.sort(np.asarray(lat) * 1e3)
@@ -94,6 +98,8 @@ def main() -> None:
         "preset": info.get("preset"),
         "chunk": info.get("chunk"),
         "greedy": bool(args.greedy),
+        "daemon_ms": daemon.get("ms"),
+        "daemon_errors": daemon.get("errors"),
     }))
 
 

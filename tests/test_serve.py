@@ -254,6 +254,131 @@ def test_tcp_transport(server):
             proc.wait(timeout=60)
 
 
+def test_http_transport(server):
+    """--http host:port serves the same ops over plain HTTP/1.1:
+    GET /ping /stats /healthz, POST /decode with a JSON body, 400 on
+    bad requests, POST /shutdown exits cleanly."""
+    import urllib.error
+    import urllib.request
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    boot = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; sys.argv = ['vqvae-serve', '--preset', 'tiny', "
+        f"'-m', {server['run']!r}, '--http', '127.0.0.1:{port}', "
+        "'--chunk', '4']; "
+        "from vqvae_tpu.cli.serve import main; main()")
+    log_path = server["run"] + "-http.log"
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return json.loads(r.read())
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen([sys.executable, "-c", boot],
+                                stdout=log, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 900
+        while True:
+            assert proc.poll() is None, open(log_path).read()[-3000:]
+            assert time.time() < deadline, "http server did not come up"
+            try:
+                ping = get("/ping")
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert ping["ok"] and ping["hop"] == 64
+        assert get("/healthz")["ok"]
+        r = post("/decode", {"codes": [5, 6, 7], "greedy": True})
+        assert r["ok"] and r["samples"] == 3 * 64
+        # errors: JSON error body + HTTP status code
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/decode", {"codes": [5], "speaker": 99})
+        assert ei.value.code == 400
+        assert "speaker" in json.loads(ei.value.read())["error"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get("/nope")
+        assert ei.value.code == 404
+        s = get("/stats")
+        assert s["ops"]["decode"]["count"] == 2
+        assert s["ops"]["decode"]["errors"] == 1
+        assert s["ops"]["decode"]["ms"]["p50"] > 0
+        assert post("/shutdown", {})["ok"]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=60)
+
+
+def test_stats_op(server):
+    """The socket transports carry the same accounting: counters and
+    latency percentiles move with requests, errors are counted."""
+    from vqvae_tpu.client import CodecClient
+
+    with CodecClient(socket_path=server["sock"]) as c:
+        before = c.stats()
+        c.decode([1, 2, 3], greedy=True)
+        after = c.stats()
+    d0 = before["ops"].get("decode", {"count": 0, "errors": 0})
+    d1 = after["ops"]["decode"]
+    assert d1["count"] == d0["count"] + 1
+    assert d1["errors"] == d0["errors"]   # the greedy decode succeeded
+    assert d1["ms"]["p50"] > 0 and d1["ms"]["max"] >= d1["ms"]["p50"]
+    assert after["uptime_s"] >= before["uptime_s"]
+    assert after["connections"]["total"] > 0
+
+
+def test_request_size_cap(monkeypatch, tmp_path):
+    """An oversized request line answers an error and drops that
+    connection (instead of buffering unbounded bytes); the daemon
+    itself survives and serves fresh connections."""
+    import threading
+    import types
+
+    from vqvae_tpu.cli import serve as S
+
+    monkeypatch.setattr(S, "MAX_REQUEST_BYTES", 1024)
+    codec = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(
+            model=types.SimpleNamespace(hop=64, K=128, mu=256,
+                                        n_speakers=4),
+            data=types.SimpleNamespace(sr=16000), name="stub"),
+        chunk=4, engine="stream")
+    sock_path = str(tmp_path / "cap.sock")
+    t = threading.Thread(target=S.serve, args=(codec, sock_path),
+                         daemon=True)
+    t.start()
+    deadline = time.time() + 30
+    while not os.path.exists(sock_path):
+        assert time.time() < deadline
+        time.sleep(0.05)
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(sock_path)
+    with c, c.makefile("rwb") as f:
+        f.write(b'{"op": "ping", "pad": "' + b"x" * 2048 + b'"}\n')
+        f.flush()
+        r = json.loads(f.readline())
+        assert r["ok"] is False and "exceeds" in r["error"]
+        assert f.readline() == b""   # connection was dropped
+    r = _request(sock_path, {"op": "ping"})   # daemon still alive
+    assert r["ok"]
+    _request(sock_path, {"op": "shutdown"})
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+
 def test_idle_client_does_not_starve_others(server):
     """Connections are concurrent (thread per client, device work
     serialized): a client that connects and sends nothing must not

@@ -36,10 +36,19 @@ host:port``) — same protocol on both.
    "temperature": 1.0, "greedy": false}   -> {"pcm16": B64}
   {"op": "reconstruct", "pcm16": B64, ...decode args}
                                           -> {"pcm16": B64, "codes"}
+  {"op": "stats"}                         -> uptime, per-op counters +
+                                             latency percentiles
   {"op": "shutdown"}
 
 Every response carries "ok"; failures report {"ok": false, "error"}
 without killing the daemon.  See tests/test_serve.py for a client.
+
+A third transport, ``--http HOST:PORT``, serves the SAME ops over
+plain HTTP/1.1 so non-Python clients need no wire protocol at all:
+``GET /ping`` / ``GET /stats`` / ``GET /healthz``, and ``POST
+/encode`` / ``/decode`` / ``/reconstruct`` / ``/shutdown`` with the
+request fields as a JSON body.  Responses are the same JSON objects
+(status 200 ok / 400 error / 404 unknown path).
 """
 
 from __future__ import annotations
@@ -52,6 +61,8 @@ import signal
 import socket
 import sys
 import threading
+import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -186,6 +197,53 @@ class Codec:
         self.encode(np.zeros(self.cfg.data.sr, np.float32))
 
 
+class Stats:
+    """Request accounting for the ``stats`` op: per-op counts, error
+    counts, and latency percentiles over a bounded reservoir (the last
+    512 requests per op — O(1) memory however long the daemon runs).
+    Thread-safe: recorded outside the device lock so a slow request
+    being timed never blocks another connection's bookkeeping."""
+
+    def __init__(self) -> None:
+        self.started = time.monotonic()
+        self._lock = threading.Lock()
+        self._ops: dict = {}   # op -> [count, errors, deque(ms)]
+        self.conn_total = 0
+        self.conn_active = 0
+
+    def connection(self, delta: int) -> None:
+        with self._lock:
+            self.conn_active += delta
+            if delta > 0:
+                self.conn_total += delta
+
+    def record(self, op: str, ok: bool, ms: float) -> None:
+        with self._lock:
+            row = self._ops.setdefault(op, [0, 0, deque(maxlen=512)])
+            row[0] += 1
+            row[1] += 0 if ok else 1
+            row[2].append(ms)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            ops = {}
+            for op, (count, errors, lats) in self._ops.items():
+                arr = np.sort(np.asarray(lats))
+                q = lambda p: round(  # noqa: E731
+                    float(arr[min(len(arr) - 1,
+                                  int(p * (len(arr) - 1) + 0.5))]), 2)
+                ops[op] = {"count": count, "errors": errors,
+                           "ms": {"p50": q(0.50), "p90": q(0.90),
+                                  "p99": q(0.99),
+                                  "max": round(float(arr[-1]), 2)}}
+            return {"ok": True,
+                    "uptime_s": round(time.monotonic() - self.started,
+                                      1),
+                    "connections": {"active": self.conn_active,
+                                    "total": self.conn_total},
+                    "ops": ops}
+
+
 def _speaker(codec: Codec, req: dict) -> int:
     """Validated speaker id: JAX gathers clamp out-of-range indices,
     which would silently serve the wrong voice instead of erroring."""
@@ -196,7 +254,7 @@ def _speaker(codec: Codec, req: dict) -> int:
     return s
 
 
-def handle(codec: Codec, req: dict) -> dict:
+def handle(codec: Codec, req: dict, stats: Stats | None = None) -> dict:
     op = req.get("op")
     if op == "ping":
         m = codec.cfg.model
@@ -204,6 +262,9 @@ def handle(codec: Codec, req: dict) -> dict:
                 "K": m.K, "mu": m.mu, "n_speakers": m.n_speakers,
                 "preset": codec.cfg.name, "chunk": codec.chunk,
                 "engine": codec.engine}
+    if op == "stats":
+        return (stats.snapshot() if stats is not None
+                else {"ok": False, "error": "stats unavailable"})
     if op == "encode":
         codes = codec.encode(pcm16_to_float(req["pcm16"]))
         return {"ok": True, "codes": codes.tolist()}
@@ -227,23 +288,52 @@ def handle(codec: Codec, req: dict) -> dict:
     return {"ok": False, "error": f"unknown op {op!r}"}
 
 
-def _client_loop(codec: Codec, conn, lock, stop) -> None:
+def answer(codec: Codec, req: dict, lock, stats: Stats) -> dict:
+    """One request -> one response, shared by every transport:
+    anything a request raises becomes an error response (only
+    transport IO may drop a connection), device work is serialized by
+    ``lock``, and wall time lands in ``stats`` (measured around the
+    lock, so a queued request's latency includes its queueing — the
+    number a client actually experiences)."""
+    t0 = time.monotonic()
+    try:
+        with lock:
+            resp = handle(codec, req, stats)
+    except Exception as exc:  # noqa: BLE001 — a bad request
+        # must not kill the daemon
+        resp = {"ok": False, "error": repr(exc)}
+    stats.record(str(req.get("op")), bool(resp.get("ok")),
+                 (time.monotonic() - t0) * 1e3)
+    return resp
+
+
+MAX_REQUEST_BYTES = 64 << 20   # cap a request line / HTTP body: an
+# unbounded read would let one hostile or buggy client OOM the daemon
+# (64 MB ≈ 25 minutes of base64 PCM16 — far above any sane request)
+
+
+def _client_loop(codec: Codec, conn, lock, stop, stats: Stats) -> None:
     """One connection: read lines, answer in order.  Device work is
     serialized by ``lock`` (one chip, one queue) but connection IO is
     per-thread, so an idle or half-dead client cannot starve others."""
-    def _answer(req):
-        """Anything a request raises becomes an error response; only
-        socket IO may drop the connection."""
-        try:
-            with lock:
-                return handle(codec, req)
-        except Exception as exc:  # noqa: BLE001 — a bad request
-            # must not kill the daemon
-            return {"ok": False, "error": repr(exc)}
-
+    stats.connection(+1)
     try:
         with conn, conn.makefile("rwb") as f:
-            for line in f:
+            while True:
+                # readline with a limit: a request beyond the cap is
+                # answered with an error and the connection dropped
+                # (the rest of the oversized line can't be resynced)
+                line = f.readline(MAX_REQUEST_BYTES + 1)
+                if not line:
+                    break
+                if len(line) > MAX_REQUEST_BYTES:
+                    f.write(json.dumps(
+                        {"ok": False,
+                         "error": "request exceeds "
+                                  f"{MAX_REQUEST_BYTES} bytes"}
+                    ).encode() + b"\n")
+                    f.flush()
+                    return
                 if not line.strip():
                     continue
                 try:
@@ -256,11 +346,13 @@ def _client_loop(codec: Codec, conn, lock, stop) -> None:
                         f.flush()
                         stop.set()
                         return
-                    resp = _answer(req)
+                    resp = answer(codec, req, lock, stats)
                 f.write(json.dumps(resp).encode() + b"\n")
                 f.flush()
     except OSError:
         return  # idle timeout or client went away mid-line
+    finally:
+        stats.connection(-1)
 
 
 def _bind(path: str | None, tcp: str | None):
@@ -298,7 +390,7 @@ def serve(codec: Codec, path: str | None,
     # accept() must wake up to notice a shutdown requested on a
     # client thread
     srv.settimeout(0.2)
-    lock, stop = threading.Lock(), threading.Event()
+    lock, stop, stats = threading.Lock(), threading.Event(), Stats()
     # SIGTERM (systemd/k8s stop) must run the finally block so a
     # UNIX socket path never leaks into the next start. Only the main
     # thread may install handlers — when embedded on a worker thread
@@ -316,12 +408,97 @@ def serve(codec: Codec, path: str | None,
             # thread); device work still runs one request at a time
             conn.settimeout(idle_timeout)
             threading.Thread(target=_client_loop,
-                             args=(codec, conn, lock, stop),
+                             args=(codec, conn, lock, stop, stats),
                              daemon=True).start()
     finally:
         srv.close()
         if unlink and os.path.exists(unlink):
             os.unlink(unlink)
+
+
+def serve_http(codec: Codec, hostport: str,
+               idle_timeout: float = 300.0) -> None:
+    """The same ops over HTTP/1.1 (``--http``): GET /ping /stats
+    /healthz, POST /encode /decode /reconstruct /shutdown with the
+    request fields as a JSON body.  Thread-per-connection with the
+    same device lock as the socket transports — one chip, one queue."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock, stats = threading.Lock(), Stats()
+    host, port = hostport.rsplit(":", 1)
+    host = host or "127.0.0.1"
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        timeout = idle_timeout   # per-read; a stalled client times
+        # out its own connection thread only
+
+        def log_message(self, *args):   # latency lives in /stats;
+            pass                        # stdout stays quiet
+
+        def _send(self, status: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, op: str, req: dict) -> None:
+            if op == "shutdown":
+                self._send(200, {"ok": True})
+                # shutdown() joins serve_forever — must not run on
+                # this (request) thread or it deadlocks
+                threading.Thread(target=httpd.shutdown,
+                                 daemon=True).start()
+                return
+            req["op"] = op
+            resp = answer(codec, req, lock, stats)
+            self._send(200 if resp.get("ok") else 400, resp)
+
+        def do_GET(self):
+            op = self.path.lstrip("/").split("?")[0]
+            if op == "healthz":
+                op = "ping"
+            if op not in ("ping", "stats"):
+                self._send(404, {"ok": False,
+                                 "error": f"unknown path {self.path!r}"})
+                return
+            self._dispatch(op, {})
+
+        def do_POST(self):
+            op = self.path.lstrip("/").split("?")[0]
+            if op not in ("encode", "decode", "reconstruct", "ping",
+                          "stats", "shutdown"):
+                self._send(404, {"ok": False,
+                                 "error": f"unknown path {self.path!r}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                if n > MAX_REQUEST_BYTES:
+                    self._send(413, {
+                        "ok": False,
+                        "error": "request exceeds "
+                                 f"{MAX_REQUEST_BYTES} bytes"})
+                    self.close_connection = True
+                    return
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as exc:
+                self._send(400, {"ok": False, "error": repr(exc)})
+                return
+            self._dispatch(op, req)
+
+    httpd = ThreadingHTTPServer((host, int(port)), Handler)
+    httpd.daemon_threads = True
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    print(f"ready on http://{host}:{int(port)}", flush=True)
+    try:
+        httpd.serve_forever(poll_interval=0.2)
+    finally:
+        httpd.server_close()
 
 
 def main() -> None:
@@ -336,6 +513,10 @@ def main() -> None:
     p.add_argument("--tcp", metavar="HOST:PORT",
                    help="listen on TCP instead of a UNIX socket "
                         "(e.g. 127.0.0.1:7070)")
+    p.add_argument("--http", metavar="HOST:PORT",
+                   help="serve the same ops over HTTP/1.1 instead "
+                        "(GET /ping /stats, POST /encode /decode "
+                        "/reconstruct; JSON bodies)")
     p.add_argument("--chunk", type=int, default=16,
                    help="code frames per compiled decode step")
     p.add_argument("--engine", choices=("auto", "stream", "pallas"),
@@ -350,8 +531,8 @@ def main() -> None:
                    help="disconnect a client after this many idle "
                         "seconds (it may reconnect)")
     args = p.parse_args()
-    if bool(args.socket) == bool(args.tcp):
-        p.error("exactly one of --socket or --tcp is required")
+    if sum(map(bool, (args.socket, args.tcp, args.http))) != 1:
+        p.error("exactly one of --socket, --tcp or --http is required")
 
     cfg = resolve_config(args)
     params = load_params(args.model, cfg)
@@ -363,7 +544,10 @@ def main() -> None:
     codec = Codec(params, cfg, args.chunk, engine, args.kernel_frames)
     print("warming serving shapes...", flush=True)
     codec.warmup()
-    serve(codec, args.socket, args.idle_timeout, args.tcp)
+    if args.http:
+        serve_http(codec, args.http, args.idle_timeout)
+    else:
+        serve(codec, args.socket, args.idle_timeout, args.tcp)
 
 
 if __name__ == "__main__":

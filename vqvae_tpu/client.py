@@ -107,6 +107,11 @@ class CodecClient:
         return _decode_pcm16(r["pcm16"]), np.asarray(r["codes"],
                                                      np.int32)
 
+    def stats(self) -> dict:
+        """Daemon accounting: uptime, connection counts, per-op
+        request/error counts and latency percentiles (ms)."""
+        return self._request({"op": "stats"})
+
     def shutdown(self) -> None:
         """Ask the daemon to exit (it confirms, then stops)."""
         self._request({"op": "shutdown"})
