@@ -79,8 +79,14 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     # daemon-side accounting for the same window: its percentiles are
     # measured around the device lock, so client-minus-daemon p50 is
-    # the transport + protocol overhead
-    daemon = c.stats().get("ops", {}).get(args.op, {})
+    # the transport + protocol overhead.  A daemon built before the
+    # stats op answers with an error — the latencies above are already
+    # collected, so degrade to empty rather than crash.
+    from vqvae_tpu.client import ServerError
+    try:
+        daemon = c.stats().get("ops", {}).get(args.op, {})
+    except ServerError:
+        daemon = {}
     c.close()
 
     lat_ms = np.sort(np.asarray(lat) * 1e3)

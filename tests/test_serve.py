@@ -310,10 +310,19 @@ def test_http_transport(server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             get("/nope")
         assert ei.value.code == 404
+        # negative Content-Length must be rejected up front: read(-1)
+        # would buffer until EOF/timeout, bypassing the size cap
+        raw = socket.create_connection(("127.0.0.1", port), timeout=30)
+        with raw:
+            raw.sendall(b"POST /decode HTTP/1.1\r\n"
+                        b"Host: x\r\nContent-Length: -1\r\n\r\n")
+            assert b" 400 " in raw.recv(4096)
         s = get("/stats")
         assert s["ops"]["decode"]["count"] == 2
         assert s["ops"]["decode"]["errors"] == 1
         assert s["ops"]["decode"]["ms"]["p50"] > 0
+        # the HTTP transport tracks connections too (ADVICE r3)
+        assert s["connections"]["total"] > 0
         assert post("/shutdown", {})["ok"]
         proc.wait(timeout=60)
     finally:
@@ -403,6 +412,37 @@ def test_bad_request_keeps_daemon_alive(server):
     # gathers clamp out of range: must error, not serve a wrong voice
     assert spk["ok"] is False and "speaker" in spk["error"]
     assert ping["ok"] is True  # same connection still served
+
+
+def test_answer_error_kind_and_lockfree_ops():
+    """answer() classifies failures (client vs internal — the HTTP
+    status split) and serves ping/stats WITHOUT the device lock, so a
+    minutes-long decode never blocks health checks."""
+    import threading
+    import types
+
+    from vqvae_tpu.cli.serve import Stats, answer
+
+    cfg = types.SimpleNamespace(
+        model=types.SimpleNamespace(hop=64, K=128, mu=256,
+                                    n_speakers=4),
+        data=types.SimpleNamespace(sr=16000), name="stub")
+
+    def boom(*a, **k):
+        raise RuntimeError("device fell over")
+
+    codec = types.SimpleNamespace(cfg=cfg, chunk=4, engine="stream",
+                                  decode=boom, encode=boom)
+    lock, stats = threading.Lock(), Stats()
+    # missing field -> client; engine exception -> internal
+    r = answer(codec, {"op": "encode"}, lock, stats)
+    assert r["ok"] is False and r["error_kind"] == "client"
+    r = answer(codec, {"op": "decode", "codes": [1, 2]}, lock, stats)
+    assert r["ok"] is False and r["error_kind"] == "internal"
+    # ping/stats answer while the device lock is HELD by a decode
+    with lock:
+        assert answer(codec, {"op": "ping"}, lock, stats)["ok"]
+        assert answer(codec, {"op": "stats"}, lock, stats)["ok"]
 
 
 def test_pallas_engine_codec_matches_oneshot(server):

@@ -288,20 +288,37 @@ def handle(codec: Codec, req: dict, stats: Stats | None = None) -> dict:
     return {"ok": False, "error": f"unknown op {op!r}"}
 
 
+LOCKFREE_OPS = ("ping", "stats")   # touch no device state: answered
+# without the device lock so a minutes-long decode never blocks
+# health checks (an orchestrator probing /healthz mid-request must
+# see a live daemon, not a timeout)
+
+
 def answer(codec: Codec, req: dict, lock, stats: Stats) -> dict:
     """One request -> one response, shared by every transport:
     anything a request raises becomes an error response (only
     transport IO may drop a connection), device work is serialized by
     ``lock``, and wall time lands in ``stats`` (measured around the
     lock, so a queued request's latency includes its queueing — the
-    number a client actually experiences)."""
+    number a client actually experiences).  Failures carry
+    ``error_kind``: 'client' (bad request — HTTP 400) vs 'internal'
+    (engine/device fault — HTTP 500), so server-side failures never
+    masquerade as client errors to monitoring."""
     t0 = time.monotonic()
     try:
-        with lock:
+        if req.get("op") in LOCKFREE_OPS:
             resp = handle(codec, req, stats)
+        else:
+            with lock:
+                resp = handle(codec, req, stats)
+    except (ValueError, KeyError, TypeError) as exc:
+        # malformed request (missing/ill-typed fields, out-of-range
+        # ids) — the client's fault
+        resp = {"ok": False, "error": repr(exc), "error_kind": "client"}
     except Exception as exc:  # noqa: BLE001 — a bad request
         # must not kill the daemon
-        resp = {"ok": False, "error": repr(exc)}
+        resp = {"ok": False, "error": repr(exc),
+                "error_kind": "internal"}
     stats.record(str(req.get("op")), bool(resp.get("ok")),
                  (time.monotonic() - t0) * 1e3)
     return resp
@@ -436,6 +453,17 @@ def serve_http(codec: Codec, hostport: str,
         def log_message(self, *args):   # latency lives in /stats;
             pass                        # stdout stays quiet
 
+        # one handler instance = one connection (keep-alive requests
+        # loop inside handle()), so setup/finish bracket the
+        # connection — /stats reports live HTTP connections too
+        def setup(self):
+            super().setup()
+            stats.connection(+1)
+
+        def finish(self):
+            stats.connection(-1)
+            super().finish()
+
         def _send(self, status: int, obj: dict) -> None:
             body = json.dumps(obj).encode()
             self.send_response(status)
@@ -454,7 +482,10 @@ def serve_http(codec: Codec, hostport: str,
                 return
             req["op"] = op
             resp = answer(codec, req, lock, stats)
-            self._send(200 if resp.get("ok") else 400, resp)
+            status = (200 if resp.get("ok")
+                      else 500 if resp.get("error_kind") == "internal"
+                      else 400)
+            self._send(status, resp)
 
         def do_GET(self):
             op = self.path.lstrip("/").split("?")[0]
@@ -475,6 +506,14 @@ def serve_http(codec: Codec, hostport: str,
                 return
             try:
                 n = int(self.headers.get("Content-Length") or 0)
+                if n < 0:
+                    # rfile.read(-1) would buffer until EOF/timeout,
+                    # bypassing the size cap below
+                    self._send(400, {
+                        "ok": False,
+                        "error": "negative Content-Length"})
+                    self.close_connection = True
+                    return
                 if n > MAX_REQUEST_BYTES:
                     self._send(413, {
                         "ok": False,
