@@ -248,8 +248,11 @@ def run_quality_check(steps: int = 3000, batch_size: int = 16,
     result.update({k: v for k, v in result["engines"][engines[0]].items()
                    if k != "engine"})
     if speaker_matrix:
-        result["speaker_matrix"] = eval_speaker_matrix(
-            params, cfg, engines[0])
+        # witness the SERVED engine when it's requested — the matrix
+        # then covers the path users actually hit (VERDICT r3 #1)
+        eng = ("pallas-stream" if "pallas-stream" in engines
+               else engines[0])
+        result["speaker_matrix"] = eval_speaker_matrix(params, cfg, eng)
     return result
 
 

