@@ -87,6 +87,9 @@ def test_ping(server):
     r = _request(server["sock"], {"op": "ping"})
     assert r["ok"] and r["sr"] == 16000 and r["hop"] == 64
     assert r["n_speakers"] == 4  # the valid speaker range for decode
+    # the startup probe measured and exposed the realtime factor so
+    # orchestrators can route live streams away from slow engines
+    assert r["realtime_x"] is not None and r["realtime_x"] > 0
 
 
 def test_decode_matches_library(server):
@@ -412,6 +415,89 @@ def test_bad_request_keeps_daemon_alive(server):
     # gathers clamp out of range: must error, not serve a wrong voice
     assert spk["ok"] is False and "speaker" in spk["error"]
     assert ping["ok"] is True  # same connection still served
+
+
+def test_stream_session_codes_matches_oneshot(server):
+    """A live codes stream (stream_open/push/close) emits audio push
+    by push whose concatenation is BIT-identical to the one-shot
+    decode request of the same codes — greedy AND sampled (the
+    fold_in(key, t) / resumable-state contracts through the wire)."""
+    from vqvae_tpu.client import CodecClient
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 128, 23).astype(np.int32)
+    with CodecClient(socket_path=server["sock"]) as c:
+        for kw in ({"greedy": True}, {"seed": 9, "temperature": 0.9}):
+            want = c.decode(codes, speaker=1, **kw)
+            with c.open_stream(speaker=1, **kw) as s:
+                pieces = [s.push_codes(codes[:5]),
+                          s.push_codes(codes[5:6]),
+                          s.push_codes(codes[6:20]),
+                          s.push_codes(codes[20:])]
+                pieces.append(s.close())
+            got = np.concatenate(pieces)
+            assert np.array_equal(got, want), kw
+
+
+def test_stream_session_pcm_full_duplex(server):
+    """pcm-mode stream == one-shot reconstruct: the exact streaming
+    encoder feeds the decode session live, over one connection."""
+    from vqvae_tpu.client import CodecClient
+
+    sr = 16000
+    t = np.arange(1100) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav = _unpcm16(_pcm16(wav))   # the PCM16 the socket carries
+    with CodecClient(socket_path=server["sock"]) as c:
+        want, _ = c.reconstruct(wav, greedy=True)
+        with c.open_stream(mode="pcm", greedy=True) as s:
+            assert s.lookahead_samples > 0   # encoder latency floor
+            pieces = [s.push_pcm(wav[:300]), s.push_pcm(wav[300:301]),
+                      s.push_pcm(wav[301:900]), s.push_pcm(wav[900:])]
+            pieces.append(s.close())
+        got = np.concatenate(pieces)
+    assert np.array_equal(got, want)
+
+
+def test_stream_session_errors_and_reaping(server):
+    """Unknown sessions error; a push that raises reaps its session;
+    the per-connection session cap holds; other requests still work."""
+    from vqvae_tpu.client import CodecClient, ServerError
+
+    with CodecClient(socket_path=server["sock"]) as c:
+        with pytest.raises(ServerError, match="unknown session"):
+            c._request({"op": "stream_push", "session": "nope",
+                        "codes": [1]})
+        s = c.open_stream(greedy=True)
+        with pytest.raises(ServerError, match="code ids"):
+            s.push_codes([99999])
+        # the failed push reaped the session
+        with pytest.raises(ServerError, match="unknown session"):
+            s.push_codes([1])
+        s._open = False   # don't double-close in __exit__
+        handles = [c.open_stream(greedy=True) for _ in range(4)]
+        with pytest.raises(ServerError, match="sessions"):
+            c.open_stream(greedy=True)
+        for h in handles:
+            h.close()
+        assert c.ping()["ok"]   # connection healthy throughout
+
+
+def test_stream_ops_rejected_off_socket_transports():
+    """Without a per-connection session registry (HTTP), stream ops
+    answer a client error instead of crashing."""
+    import types
+
+    from vqvae_tpu.cli.serve import handle
+
+    codec = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(
+            model=types.SimpleNamespace(hop=64, K=128, mu=256,
+                                        n_speakers=4),
+            data=types.SimpleNamespace(sr=16000), name="stub"),
+        chunk=4, engine="stream")
+    r = handle(codec, {"op": "stream_open"}, sessions=None)
+    assert r["ok"] is False and "socket transport" in r["error"]
 
 
 def test_answer_error_kind_and_lockfree_ops():

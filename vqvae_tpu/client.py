@@ -112,6 +112,20 @@ class CodecClient:
         request/error counts and latency percentiles (ms)."""
         return self._request({"op": "stats"})
 
+    def open_stream(self, mode: str = "codes", speaker: int = 0,
+                    seed: int = 0, temperature: float = 1.0,
+                    greedy: bool = False) -> "StreamHandle":
+        """Open a live decode stream (mode='codes') or full-duplex
+        codec stream (mode='pcm'): audio comes back push by push, so
+        time-to-first-audio is one push rather than a whole request.
+        The concatenated stream output is bit-identical to the
+        one-shot decode of the same codes at equal seed."""
+        r = self._request({
+            "op": "stream_open", "mode": mode, "speaker": int(speaker),
+            "seed": int(seed), "temperature": float(temperature),
+            "greedy": bool(greedy)})
+        return StreamHandle(self, r)
+
     def shutdown(self) -> None:
         """Ask the daemon to exit (it confirms, then stops)."""
         self._request({"op": "shutdown"})
@@ -127,3 +141,56 @@ class CodecClient:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class StreamHandle:
+    """One live stream on a client connection (``open_stream``).
+
+    >>> with c.open_stream(greedy=True) as s:
+    ...     pieces = [s.push_codes(chunk) for chunk in chunks]
+    ...     pieces.append(s.close())
+    >>> np.concatenate(pieces)   # == one-shot decode
+    """
+
+    def __init__(self, client: CodecClient, opened: dict):
+        self._c = client
+        self.session = opened["session"]
+        self.mode = opened["mode"]
+        # encoder lookahead (pcm mode) and decode emission granularity,
+        # both in samples — the stream's structural latency floor
+        self.lookahead_samples = opened["lookahead_samples"]
+        self.granularity_samples = opened["granularity_samples"]
+        self._open = True
+
+    def push_codes(self, codes) -> np.ndarray:
+        """codes-mode push: int32 ids ``[n]`` -> newly finalized
+        float32 waveform (may be empty while a kernel slice fills)."""
+        r = self._c._request({
+            "op": "stream_push", "session": self.session,
+            "codes": np.asarray(codes, np.int32).tolist()})
+        return _decode_pcm16(r["pcm16"])
+
+    def push_pcm(self, wav: np.ndarray) -> np.ndarray:
+        """pcm-mode push: float32 waveform in -> finalized waveform
+        out (runs the exact streaming encoder daemon-side)."""
+        r = self._c._request({
+            "op": "stream_push", "session": self.session,
+            "pcm16": _encode_pcm16(np.asarray(wav))})
+        return _decode_pcm16(r["pcm16"])
+
+    def close(self) -> np.ndarray:
+        """Flush: the final samples the stream was holding back."""
+        self._open = False
+        r = self._c._request({"op": "stream_close",
+                              "session": self.session})
+        return _decode_pcm16(r["pcm16"])
+
+    def __enter__(self) -> "StreamHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._open:
+            try:
+                self.close()
+            except (ServerError, ConnectionError, OSError):
+                pass

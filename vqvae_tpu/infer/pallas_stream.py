@@ -140,3 +140,114 @@ class PallasStreamDecoder:
             wav_pieces.append(mu_law_decode_jit(
                 ids, self.cfg.mu, mode=self.cfg.mulaw_mode))
         return np.concatenate(jax.device_get(wav_pieces), axis=1)[:, :T]
+
+    def session(self, speaker: jax.Array, key: jax.Array,
+                temperature: float = 1.0) -> "PallasStreamSession":
+        """An incremental decode session sharing this decoder's packed
+        weights — the daemon's live full-duplex path."""
+        return PallasStreamSession(self, speaker, key, temperature)
+
+
+class PallasStreamSession:
+    """Incremental decode over the resumable kernel: ``push`` code
+    frames of ANY size as they arrive, pull the waveform each push
+    finalizes; ``close`` flushes the tail.  The concatenated session
+    output is BIT-IDENTICAL to ``PallasStreamDecoder.decode`` of the
+    concatenated codes at equal (speaker, key, temperature) and equal
+    ``kernel_frames`` — greedy AND sampled — because the cond stream
+    composes exactly under any slicing (CondUpsampler's overlap-add
+    contract: each output sample overlaps exactly two code frames, so
+    the add order is slicing-invariant), the kernel only ever consumes
+    full ``spc``-sample slices of REAL cond mid-stream, the close pads
+    with zeros and trims exactly as the one-shot path pads internally,
+    and the kernel PRNG is indexed by absolute chunk number.  Pinned in
+    tests/test_pallas_stream.py.
+
+    Weights live in the parent decoder (built once per daemon); a
+    session holds only its ring-buffer state, the upsampler carry, and
+    a < ``spc``-sample cond remainder — O(1) memory in stream length.
+    Audio becomes available once ``spc = kernel_frames*hop`` cond
+    samples accumulate, so SMALL ``kernel_frames`` minimizes
+    time-to-first-audio while large maximizes per-push throughput
+    (docs/SERVING.md sweep)."""
+
+    def __init__(self, dec: PallasStreamDecoder, speaker: jax.Array,
+                 key: jax.Array, temperature: float = 1.0):
+        self.dec = dec
+        cfg = dec.cfg
+        self.gcond, self.seed = _request_prep(dec._dec, cfg, speaker,
+                                              key)
+        self.temp = jnp.float32(temperature)
+        B = int(speaker.shape[0])
+        self.state = _init_state(cfg, B, dec.gp.wff.dtype)
+        # a PRIVATE upsampler: the parent's is reset per decode request
+        # and must not be shared by concurrent sessions
+        self._ups = CondUpsampler({"vq": {"codebook": dec._ups.codebook},
+                                   "decoder": {"upsample": {
+                                       "w": dec._ups.up_w,
+                                       "b": dec._ups.up_b}}}, cfg)
+        self._buf = np.zeros((B, 0, cfg.d),
+                             jax.device_get(self._ups.up_b).dtype)
+        self._closed = False
+
+    def _push_cond(self, codes: np.ndarray) -> None:
+        """Feed codes through the upsampler in C/1-frame slices (the
+        request path's fixed compiled-shape set) into the cond buffer."""
+        C, n = self.dec.chunk, codes.shape[1]
+        pieces = []
+        steady = n - n % C
+        for i in range(0, steady, C):
+            pieces.append(self._ups.push(jnp.asarray(codes[:, i:i + C])))
+        for i in range(steady, n):
+            pieces.append(self._ups.push(jnp.asarray(codes[:, i:i + 1])))
+        if pieces:
+            self._buf = np.concatenate(
+                [self._buf] + list(jax.device_get(pieces)), axis=1)
+
+    def _drain(self, final: bool) -> np.ndarray:
+        """Run the kernel over every complete ``spc`` cond slice (all
+        of them, zero-padded and trimmed, when ``final``)."""
+        spc, cfg = self.dec.spc, self.dec.cfg
+        B, T, d = self._buf.shape
+        take = T if final else T - T % spc
+        if take == 0:   # nothing to run (mid-stream slice still
+            return np.zeros((B, 0), np.float32)  # filling, or an
+            # empty-stream close)
+        cond, self._buf = self._buf[:, :take], self._buf[:, take:]
+        pad = (-take) % spc
+        if pad:
+            cond = np.concatenate(
+                [cond, np.zeros((B, pad, d), cond.dtype)], axis=1)
+        wav_pieces = []
+        for i in range(0, take + pad, spc):
+            ids, self.state = generate_ids_pallas_resume(
+                self.dec.gp, cfg, jnp.asarray(cond[:, i:i + spc]),
+                self.gcond, self.seed, self.temp, self.state,
+                greedy=self.dec.greedy)
+            wav_pieces.append(mu_law_decode_jit(
+                ids, cfg.mu, mode=cfg.mulaw_mode))
+        return np.concatenate(jax.device_get(wav_pieces),
+                              axis=1)[:, :take]
+
+    def push(self, codes: np.ndarray) -> np.ndarray:
+        """codes ``[B, n]`` -> the newly finalized ``[B, m]`` waveform
+        (m may be 0 while a kernel slice fills)."""
+        if self._closed:
+            raise ValueError("session is closed")
+        codes = np.asarray(codes, np.int32)
+        if codes.ndim != 2:
+            raise ValueError("codes must be [B, n]")
+        self._push_cond(codes)
+        return self._drain(final=False)
+
+    def close(self) -> np.ndarray:
+        """Flush the upsampler tail + cond remainder; the session is
+        then unusable."""
+        if self._closed:
+            raise ValueError("session is closed")
+        self._closed = True
+        if not self._ups._first:      # flush needs at least one push
+            self._buf = np.concatenate(
+                [self._buf, np.asarray(jax.device_get(
+                    self._ups.flush()))], axis=1)
+        return self._drain(final=True)
