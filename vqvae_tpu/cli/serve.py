@@ -111,10 +111,12 @@ class Codec:
     ``engine`` picks the decode path: 'stream' is the XLA-scan
     StreamingSynthesizer; 'pallas' is the resumable fused kernel
     (infer/pallas_stream) — ~4x faster per step at B=1, bit-identical
-    to the one-shot pallas engine at equal seed.  Greedy output is
-    identical across engines; SAMPLED output differs between them
-    (in-kernel Gumbel-max vs fold_in categoricals — two valid
-    samplers, each pinned against its own one-shot counterpart).
+    to the one-shot pallas engine at equal seed.  Each engine is
+    bit-exact against its OWN one-shot/streaming variants; outputs
+    are not identical BETWEEN engines on hardware (the kernel's bf16
+    logits can flip a greedy argmax at near-ties — BENCH
+    engine_agreement; samplers also differ: in-kernel Gumbel-max vs
+    fold_in categoricals, two valid draws).
     'pallas' sampling needs the TPU PRNG, so on CPU it serves greedy
     only (a sampled request returns an error response).
     """

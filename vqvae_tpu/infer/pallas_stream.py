@@ -27,8 +27,10 @@ per-push decode composes.  Pinned in tests/test_pallas_stream.py.
 
 Note the one-shot SAMPLED stream differs from the XLA engines' (the
 kernel draws in-kernel Gumbel-max noise, not ``fold_in(key, t)``
-categoricals) — both are valid samplers; greedy agrees across all
-engines (reference parity: SURVEY.md §3.2's single generate loop).
+categoricals) — both are valid samplers.  Greedy agrees across
+engines in exact arithmetic only; on hardware the kernel's bf16
+logits can flip argmax at near-ties (BENCH engine_agreement), so
+the guarantee users should rely on is SAME-engine determinism.
 """
 
 from __future__ import annotations
