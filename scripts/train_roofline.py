@@ -88,6 +88,7 @@ def bench_batch(cfg_base, B: int, steps: int, profile: bool,
         "batch": B,
         "remat": cfg.model.remat,
         "decoder_kernel": cfg.model.decoder_kernel,
+        "head_kernel": cfg.model.head_kernel,
         "ms_per_step": round(dt * 1e3, 2),
         "utt_per_s": round(B / dt, 1),
         "xla_step_tflops": round(xla_flops / 1e12, 3),
@@ -106,6 +107,8 @@ def main() -> None:
     ap.add_argument("--batches", default="8,16,24,32,48,64")
     ap.add_argument("--decoder-kernel", default=None,
                     choices=["xla", "pallas", "pallas_sg"])
+    ap.add_argument("--head-kernel", default=None,
+                    choices=["xla", "pallas"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--profile-batch", type=int, default=0)
@@ -120,6 +123,9 @@ def main() -> None:
     if args.decoder_kernel:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, decoder_kernel=args.decoder_kernel))
+    if args.head_kernel:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, head_kernel=args.head_kernel))
     print(f"device: {jax.devices()[0].device_kind}, "
           f"flagship T={cfg.data.length}, remat={cfg.model.remat}")
     rows = []

@@ -185,6 +185,65 @@ def test_train_stack_pallas_multi_chunk(kernel):
             rtol=1e-3, err_msg=f"grad mismatch at {path}")
 
 
+# ---- fused head + softmax-CE TRAINING kernel (interpret on CPU) ----
+
+
+def _head_ce_setup(T=1024, B=2, seed=0):
+    from vqvae_tpu.audio.framing import frame_batch
+    cfg = get_config("tiny").model
+    params = init_model(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(seed)
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (B, T + 1)), jnp.float32)
+    batch = frame_batch(wav, jnp.asarray(np.arange(B) % 4), cfg.mu)
+    return cfg, params, batch
+
+
+@pytest.mark.parametrize("tile", [None, 768])
+def test_head_ce_pallas_matches_xla(tile, monkeypatch):
+    """head_kernel='pallas' (fused head+CE, kernels/head_ce_pallas.py)
+    == the XLA `_head`+logsumexp chain: same loss1 and near-identical
+    gradients for every leaf, to bf16 tolerance (the kernel multiplies
+    w2 in bf16; the XLA head in f32).  tile=768 forces the row-padding
+    path (N=2048 pads to 2304)."""
+    import dataclasses
+    from vqvae_tpu.kernels import head_ce_pallas as hk
+    from vqvae_tpu.models import forward
+
+    if tile is not None:
+        monkeypatch.setattr(hk, "TILE", tile)
+    cfg_x, params, batch = _head_ce_setup()
+    cfg_h = dataclasses.replace(cfg_x, head_kernel="pallas")
+
+    def loss_fn(cfg):
+        return lambda p: forward(p, cfg, batch)[0]
+
+    l_x, g_x = jax.value_and_grad(loss_fn(cfg_x))(params)
+    l_h, g_h = jax.value_and_grad(loss_fn(cfg_h))(params)
+    np.testing.assert_allclose(float(l_x), float(l_h), rtol=1e-2)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_h)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            atol=2e-2 * scale, rtol=5e-2,
+            err_msg=f"grad mismatch at {path}")
+
+
+def test_head_ce_pallas_composes_with_decoder_kernel():
+    """head_kernel='pallas' stacks on decoder_kernel='pallas' (the
+    shipping combination): full train-forward loss matches pure XLA."""
+    import dataclasses
+    from vqvae_tpu.models import forward
+
+    cfg_x, params, batch = _head_ce_setup(seed=3)
+    cfg_hp = dataclasses.replace(cfg_x, head_kernel="pallas",
+                                 decoder_kernel="pallas")
+    l_x = forward(params, cfg_x, batch)[0]
+    l_hp = forward(params, cfg_hp, batch)[0]
+    np.testing.assert_allclose(float(l_x), float(l_hp), rtol=1e-2)
+
+
 def test_train_stack_pallas_windowed_bwd_matches_xla():
     """bwd_time_windows=2 (time-windowed recompute backward: sum(dils)
     halo recompute + dh spill carry, grid right-to-left) produces the

@@ -141,6 +141,33 @@ def test_pallas_decoder_dp_and_tp(kernel):
     assert abs(losses["dp"] - losses["dp_tp"]) < 1e-4, losses
 
 
+def test_head_ce_kernel_dp_and_tp():
+    """The fused head+CE training kernel (head_kernel='pallas',
+    kernels/head_ce_pallas.py) composes with pjit sharding in the
+    shipping stretch combination (decoder_kernel='pallas_sg'):
+    8-way DP matches 1 device and the 4x2 DP+TP mesh matches pure DP."""
+    cfg = _cfg()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, decoder_kernel="pallas_sg", head_kernel="pallas"))
+    wav, spk = _one_batch(cfg)
+    losses = {}
+    for name, mesh in (("1dev", make_mesh(devices=jax.devices()[:1])),
+                       ("dp", make_mesh()),
+                       ("dp_tp", make_mesh(model=2))):
+        jit_for, sh_of = make_train_step(cfg, mesh)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        sh = sh_of(state)
+        state = jax.device_put(state, sh)
+        bsh = batch_sharding(mesh)
+        state, m = jit_for(sh)(state, jax.device_put(wav, bsh),
+                               jax.device_put(spk, bsh))
+        losses[name] = float(m["loss"])
+        hw = jax.device_get(state.params["decoder"]["head"]["h1"]["w"])
+        assert np.all(np.isfinite(hw))
+    assert abs(losses["1dev"] - losses["dp"]) < 1e-4, losses
+    assert abs(losses["dp"] - losses["dp_tp"]) < 1e-4, losses
+
+
 def test_dp_sp_full_train_step_matches_dp():
     """Sequence parallelism through the USER surface (cfg.train.mesh_seq
     / --mesh-seq): the ('data','seq') 4x2 mesh routes the decoder stack

@@ -86,6 +86,14 @@ class ModelConfig:
     # ops/conv.py) or "pallas" (whole stack fused in one kernel —
     # kernels/encoder_pallas.py)
     encoder_kernel: str = "xla"
+    # training-path head + softmax-CE: "xla" or "pallas" (one fused
+    # kernel over row tiles — the f32 [B,T,mu] logits tensor never
+    # touches HBM; kernels/head_ce_pallas.py). bf16-tolerance vs the
+    # XLA chain (w2 multiplies in bf16 in-kernel, f32 in XLA); golden
+    # trajectories and inference always use the XLA head. Ignored when
+    # the decoder runs sequence-parallel (mesh_seq>1): the SP stack
+    # computes full logits per time shard and keeps the XLA CE.
+    head_kernel: str = "xla"
     # decoder_kernel="pallas" only: >1 time-windows the recompute
     # backward (sum(dils)-halo grid over T-chunks) so its VMEM scratch
     # shrinks ~n-fold and the batch group returns to G=2; needs
@@ -217,9 +225,12 @@ def _stretch() -> Config:
     # pallas decoder kernels: 2.6x over the XLA loop at B=64
     # (84 vs 222 ms/step on one v5e core); the save-gates backward is
     # the measured-best variant at B>=32 (76.4 vs 80.0 ms at B=64 —
-    # docs/PERF.md "Save-gates backward"), so this B=64 preset uses it
+    # docs/PERF.md "Save-gates backward"), and the fused head+CE
+    # kernel saves another ~4 ms at B=64 (74.2 vs 78.4 ms — PERF.md
+    # "Fused head+CE kernel"), so this B=64 preset ships both
     model = ModelConfig(ema=True, code_restart_threshold=1e-3,
-                        decoder_kernel="pallas_sg")
+                        decoder_kernel="pallas_sg",
+                        head_kernel="pallas")
     train = TrainConfig(batch_size=64, eval_every=1000)
     return Config(model=model, train=train, name="stretch")
 

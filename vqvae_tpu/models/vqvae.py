@@ -86,19 +86,33 @@ def forward(params: Dict, cfg: ModelConfig, batch: Batch,
         logits = apply_decoder_sp(params, cfg, batch.ids_in,
                                   cond, batch.speaker, mesh,
                                   axis="seq", batch_axes=bax)
+    elif cfg.head_kernel == "pallas":
+        # one fused kernel runs head + CE straight off the skips — the
+        # f32 [B,T,mu] logits never touch HBM (round-4 profile: the
+        # XLA chain is 9.9% of the step, all HBM round trips;
+        # kernels/head_ce_pallas.py)
+        from vqvae_tpu.kernels.head_ce_pallas import head_ce_loss
+        from vqvae_tpu.models.wavenet import decoder_skips
+        skips = decoder_skips(params["decoder"], cfg, batch.ids_in,
+                              cond, batch.speaker)
+        loss1 = head_ce_loss(params["decoder"], cfg, skips,
+                             batch.targets)
+        logits = None
     else:
         logits = apply_decoder(params["decoder"], cfg, batch.ids_in,
                                cond, batch.speaker)        # [B,T,mu] f32
-    # Softmax cross-entropy via one-hot contraction instead of
-    # take_along_axis: the integer-label gather (and its scatter in the
-    # backward) costs ~2-4 ms/step at flagship shapes on TPU (profiled,
-    # docs/PERF.md); the one-hot multiply fuses into one pass over the
-    # logits. Same value as optax's integer-label CE to f32 rounding.
-    logz = jax.scipy.special.logsumexp(logits, axis=-1)    # [B,T]
-    picked = jnp.sum(
-        logits * jax.nn.one_hot(batch.targets, cfg.mu,
-                                dtype=logits.dtype), axis=-1)
-    loss1 = jnp.mean(logz - picked)
+    if logits is not None:
+        # Softmax cross-entropy via one-hot contraction instead of
+        # take_along_axis: the integer-label gather (and its scatter in
+        # the backward) costs ~2-4 ms/step at flagship shapes on TPU
+        # (profiled, docs/PERF.md); the one-hot multiply fuses into one
+        # pass over the logits. Same value as optax's integer-label CE
+        # to f32 rounding.
+        logz = jax.scipy.special.logsumexp(logits, axis=-1)    # [B,T]
+        picked = jnp.sum(
+            logits * jax.nn.one_hot(batch.targets, cfg.mu,
+                                    dtype=logits.dtype), axis=-1)
+        loss1 = jnp.mean(logz - picked)
 
     if cfg.ema:
         loss = loss1 + cfg.beta * loss3

@@ -123,6 +123,15 @@ def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
                   cond: jax.Array, speaker: jax.Array) -> jax.Array:
     """Teacher-forced decode: ids ``[B, T]``, cond ``[B, T, d]``,
     speaker ``[B]`` -> logits ``[B, T, mu]`` (float32)."""
+    return _head(params, cfg,
+                 decoder_skips(params, cfg, ids_in, cond, speaker))
+
+
+def decoder_skips(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
+                  cond: jax.Array, speaker: jax.Array) -> jax.Array:
+    """The gated-residual stack up to (but not including) the head:
+    returns the summed skips ``[B, T, S]`` — the boundary the fused
+    head+CE training kernel consumes (kernels/head_ce_pallas.py)."""
     R = cfg.residual_channels
     cdt = cfg.cdtype
     lay = params["layers"]
@@ -134,8 +143,7 @@ def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
         from vqvae_tpu.kernels.wavenet_train_pallas import (
             decoder_stack_pallas,
         )
-        skips = decoder_stack_pallas(params, cfg, h, cond, gcond)
-        return _head(params, cfg, skips)
+        return decoder_stack_pallas(params, cfg, h, cond, gcond)
 
     def layer(h, skips, wf, vc, gc, wr, br, ws, bs, dil):
         u = shift_right(h, dil) @ wf[0].astype(cdt) + h @ wf[1].astype(cdt)
@@ -155,7 +163,7 @@ def apply_decoder(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
         h, skips = layer(h, skips, lay["wf"][li], lay["vc"][li],
                          gcond[li], lay["wr"][li], lay["br"][li],
                          lay["ws"][li], lay["bs"][li], dil)
-    return _head(params, cfg, skips)
+    return skips
 
 
 def _head(params: Dict, cfg: ModelConfig, skips: jax.Array) -> jax.Array:
