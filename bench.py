@@ -477,8 +477,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             rec["training"] = {"error": repr(exc)}
         # the best measured training configuration (docs/PERF.md):
-        # B=64 with the save-gates backward + the fused head+CE kernel
-        # (74.6 vs 78.4 ms/step, round-4 measurement)
+        # B=64 with the save-gates backward + fused head+CE + chained
+        # skip accumulator (72.8 ms/step, round-4 measurement)
         try:
             rec["training_best"] = _bench_training(
                 B=64, decoder_kernel="pallas_sg", head_kernel="pallas")

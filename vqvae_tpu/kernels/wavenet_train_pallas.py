@@ -100,14 +100,26 @@ def _gate(u, R, cdt):
 
 
 def _fwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
+                acc: bool,
                 h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref,
-                br_ref, ws_ref,
+                br_ref, ws_ref, tail_ref,
                 hout_ref, skips_ref, *rest):
     cdt = h_ref.dtype
     h = h_ref[...]                                   # [G, T, R]
     G, T, _ = h.shape
     cond_f = cond_ref[...].reshape(G * T, -1)
-    skips = jnp.zeros((G * T, ws_ref.shape[-1]), jnp.float32)
+    # the skip accumulator initialises from the chain (round 4, "kernel
+    # glue" profile line): the FIRST chunk seeds it with the summed
+    # per-layer skip bias (tail = [1,S]), later chunks read the running
+    # total straight from HBM (tail = [G,T,S], acc=True) — so the
+    # XLA-level s1+s2+s3+bias combine fusions (~1.6 ms of [B,T,S]
+    # round trips at flagship B=64) never exist
+    if acc:
+        skips = tail_ref[...].reshape(
+            G * T, ws_ref.shape[-1]).astype(jnp.float32)
+    else:
+        skips = jnp.broadcast_to(tail_ref[0].astype(jnp.float32),
+                                 (G * T, ws_ref.shape[-1]))
     for li, dil in enumerate(dils):
         _, u = _u_of(h, cond_f, gc_ref, wff_ref, vc_ref, li, dil)
         ta, sb, z = _gate(u, R, cdt)
@@ -380,9 +392,13 @@ def _group_of(B: int, want: int = 2) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def fused_stack_chunk(dils: Tuple[int, ...], interpret: bool,
                       save_gates: bool, bwd_windows: int,
-                      h, cond, gc, wff, vc, wr, br, ws
+                      h, cond, gc, wff, vc, wr, br, ws, bias
                       ) -> Tuple[jax.Array, jax.Array]:
     """nl-layer chunk: returns (h_out [B,T,R], skips [B,T,S]).
+
+    ``bias`` [1,S] seeds the in-kernel skip accumulator (the summed
+    per-layer skip biases for the whole stack — passed to the FIRST
+    chunk of a chain; see fused_stack_chunk_acc for the rest).
 
     ``save_gates`` trades HBM for FLOPs in the backward: the forward
     writes each layer's gate halves (ta|sb, bf16 ``[B,nl,T,2R]``) to
@@ -398,12 +414,29 @@ def fused_stack_chunk(dils: Tuple[int, ...], interpret: bool,
     Ignored (full-T) under ``save_gates``.
     """
     out = _chunk_fwd_call(dils, interpret, False, h, cond, gc, wff,
-                          vc, wr, br, ws)
+                          vc, wr, br, ws, bias)
+    return out[0], out[1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_stack_chunk_acc(dils: Tuple[int, ...], interpret: bool,
+                          save_gates: bool, bwd_windows: int,
+                          h, cond, gc, wff, vc, wr, br, ws, skips_in
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Chained chunk: like fused_stack_chunk but the skip accumulator
+    initialises from ``skips_in`` [B,T,S] (the previous chunk's
+    output), read inside the kernel — one [B,T,S] HBM read instead of
+    the XLA combine's read+read+write.  d(skips_out)/d(skips_in) is
+    the identity, so the backward passes the skips cotangent through
+    unchanged (zero extra traffic)."""
+    out = _chunk_fwd_call(dils, interpret, False, h, cond, gc, wff,
+                          vc, wr, br, ws, skips_in, acc=True)
     return out[0], out[1]
 
 
 def _chunk_fwd_call(dils, interpret, save_gates,
-                    h, cond, gc, wff, vc, wr, br, ws):
+                    h, cond, gc, wff, vc, wr, br, ws, tail,
+                    acc=False):
     B, T, R = h.shape
     d = cond.shape[-1]
     nl = len(dils)
@@ -429,7 +462,7 @@ def _chunk_fwd_call(dils, interpret, save_gates,
         out_shape.append(jax.ShapeDtypeStruct((B, nl, T, 2 * R),
                                               h.dtype))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, dils, R, save_gates),
+        functools.partial(_fwd_kernel, dils, R, save_gates, acc),
         grid=(B // G,),
         in_specs=[
             _group_spec(G, T, R),           # h
@@ -440,6 +473,9 @@ def _chunk_fwd_call(dils, interpret, save_gates,
             _const_spec(nl, R, R),          # wr
             _const_spec(nl, R),             # br
             _const_spec(nl, R, S),          # ws
+            # tail: running skip total [B,T,S] (acc) or the summed
+            # skip bias [1,S] (first chunk)
+            _group_spec(G, T, S) if acc else _const_spec(1, S),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -447,19 +483,45 @@ def _chunk_fwd_call(dils, interpret, save_gates,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(h, cond, gc, wff, vc, wr, br, ws)
+    )(h, cond, gc, wff, vc, wr, br, ws, tail)
     return out
 
 
 def _chunk_vjp_fwd(dils, interpret, save_gates, bwd_windows,
-                   h, cond, gc, wff, vc, wr, br, ws):
+                   h, cond, gc, wff, vc, wr, br, ws, bias):
     out = _chunk_fwd_call(dils, interpret, save_gates, h, cond, gc,
-                          wff, vc, wr, br, ws)
+                          wff, vc, wr, br, ws, bias)
+    gall = out[2] if save_gates else None
+    return tuple(out[:2]), (h, cond, gc, wff, vc, wr, br, ws, gall)
+
+
+def _chunk_vjp_fwd_acc(dils, interpret, save_gates, bwd_windows,
+                       h, cond, gc, wff, vc, wr, br, ws, skips_in):
+    out = _chunk_fwd_call(dils, interpret, save_gates, h, cond, gc,
+                          wff, vc, wr, br, ws, skips_in, acc=True)
     gall = out[2] if save_gates else None
     return tuple(out[:2]), (h, cond, gc, wff, vc, wr, br, ws, gall)
 
 
 def _chunk_vjp_bwd(dils, interpret, save_gates, bwd_windows, res, cots):
+    # d(skips)/d(bias) is a broadcast: dbias = sum over rows of dskips
+    # — the same [B,T,S] reduction XLA used to emit for the out-of-
+    # kernel `skips + sum(bs)` add, so the backward cost is unchanged
+    dbias = jnp.sum(cots[1].astype(jnp.float32),
+                    axis=(0, 1)).reshape(1, -1).astype(res[0].dtype)
+    return _chunk_grads(dils, interpret, save_gates, bwd_windows,
+                        res, cots) + (dbias,)
+
+
+def _chunk_vjp_bwd_acc(dils, interpret, save_gates, bwd_windows,
+                       res, cots):
+    # identity pass-through: the cotangent for skips_in IS the skips
+    # cotangent (same array, no copy)
+    return _chunk_grads(dils, interpret, save_gates, bwd_windows,
+                        res, cots) + (cots[1],)
+
+
+def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots):
     if bwd_windows > 1 and not save_gates:
         return _chunk_bwd_windowed_call(dils, interpret, bwd_windows,
                                         res, cots)
@@ -624,6 +686,7 @@ def _chunk_bwd_windowed_call(dils, interpret, n_windows, res, cots):
 
 
 fused_stack_chunk.defvjp(_chunk_vjp_fwd, _chunk_vjp_bwd)
+fused_stack_chunk_acc.defvjp(_chunk_vjp_fwd_acc, _chunk_vjp_bwd_acc)
 
 
 def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
@@ -660,19 +723,25 @@ def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
     n_chunks = -(-L // MAX_CHUNK_LAYERS)
     per = -(-L // n_chunks)
 
-    chunk = fused_stack_chunk
+    chunk, chunk_acc = fused_stack_chunk, fused_stack_chunk_acc
     if cfg.remat:
         chunk = jax.checkpoint(fused_stack_chunk,
                                static_argnums=(0, 1, 2, 3))
+        chunk_acc = jax.checkpoint(fused_stack_chunk_acc,
+                                   static_argnums=(0, 1, 2, 3))
 
     bwd_windows = getattr(cfg, "bwd_time_windows", 0)
     cond = cond.astype(cdt)
-    skips = None
-    for l0 in range(0, L, per):
+    # the chunks CHAIN the skip accumulator through the kernels: the
+    # first seeds it with the summed per-layer bias, later chunks read
+    # the running total in-kernel (fused_stack_chunk_acc) — no
+    # [B,T,S]-sized XLA combine fusions between chunks (round-4
+    # profile: 1.6 ms of pure HBM glue at flagship B=64)
+    skips = jnp.sum(bs, axis=0).reshape(1, -1)
+    for i, l0 in enumerate(range(0, L, per)):
         l1 = min(l0 + per, L)
-        h, s = chunk(tuple(dils[l0:l1]), interpret, save_gates,
-                     bwd_windows, h,
-                     cond, gct[:, l0:l1], wff[l0:l1], vc[l0:l1],
-                     wr[l0:l1], br[l0:l1], ws[l0:l1])
-        skips = s if skips is None else skips + s
-    return skips + jnp.sum(bs, axis=0).astype(cdt)
+        h, skips = (chunk if i == 0 else chunk_acc)(
+            tuple(dils[l0:l1]), interpret, save_gates, bwd_windows, h,
+            cond, gct[:, l0:l1], wff[l0:l1], vc[l0:l1],
+            wr[l0:l1], br[l0:l1], ws[l0:l1], skips)
+    return skips
