@@ -99,13 +99,47 @@ def _gate(u, R, cdt):
     return ta, sb, z
 
 
+def _embed_h(ids, wemb_ref, bemb_ref, cdt):
+    """In-kernel input embedding (round 4, "decoder input embedding"
+    profile line — 3.7 ms of gather/one-hot HBM traffic at B=64):
+    h[t] = w1[ids[t]] + w0[ids[t-1]] + b as two one-hot MXU matmuls
+    built entirely in VMEM.  One-hot rows are exact {0,1}, so the
+    matmul reproduces the gather bit-for-bit (f32 accumulate, one cast
+    — vs the XLA path's two bf16 adds).  Returns the one-hots too: the
+    backward contracts them against dh for the table gradient.
+
+    ids [G,T] int32, wemb_ref [2,mu,R], bemb_ref [1,R] ->
+    (oh1 [G*T,mu], ohp [G*T,mu], h [G,T,R])."""
+    G, T = ids.shape
+    mu, R = wemb_ref.shape[1], wemb_ref.shape[2]
+    iota_mu = jax.lax.broadcasted_iota(jnp.int32, (G, T, mu), 2)
+    oh1 = (ids[..., None] == iota_mu).astype(cdt).reshape(G * T, mu)
+    # causal tap: w0 sees ids[t-1]; position 0 contributes ZERO
+    # (shift_right's pad), masked via the time iota
+    idsp = jnp.pad(ids, ((0, 0), (1, 0)))[:, :T]
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (G, T), 1)
+    ohp = ((idsp[..., None] == iota_mu)
+           & (tpos[..., None] > 0)).astype(cdt).reshape(G * T, mu)
+    h = (jnp.dot(oh1, wemb_ref[1], preferred_element_type=jnp.float32)
+         + jnp.dot(ohp, wemb_ref[0],
+                   preferred_element_type=jnp.float32)
+         + bemb_ref[0].astype(jnp.float32))
+    return oh1, ohp, h.astype(cdt).reshape(G, T, R)
+
+
 def _fwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
-                acc: bool,
-                h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref,
-                br_ref, ws_ref, tail_ref,
-                hout_ref, skips_ref, *rest):
-    cdt = h_ref.dtype
-    h = h_ref[...]                                   # [G, T, R]
+                acc: bool, embed: bool, *refs):
+    if embed:
+        (ids_ref, wemb_ref, bemb_ref, cond_ref, gc_ref, wff_ref,
+         vc_ref, wr_ref, br_ref, ws_ref, tail_ref,
+         hout_ref, skips_ref, *rest) = refs
+        cdt = wemb_ref.dtype
+        _, _, h = _embed_h(ids_ref[...], wemb_ref, bemb_ref, cdt)
+    else:
+        (h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref, br_ref,
+         ws_ref, tail_ref, hout_ref, skips_ref, *rest) = refs
+        cdt = h_ref.dtype
+        h = h_ref[...]                               # [G, T, R]
     G, T, _ = h.shape
     cond_f = cond_ref[...].reshape(G * T, -1)
     # the skip accumulator initialises from the chain (round 4, "kernel
@@ -137,20 +171,37 @@ def _fwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
 
 
 def _bwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
-                h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref,
-                br_ref, ws_ref, dhout_ref, dskips_ref, *rest):
-    if save_gates:
-        # gates were saved to HBM by the forward — pass 1 only replays
-        # the cheap residual chain (one [T,R]x[R,R] matmul per layer)
-        (gall_in_ref, dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
-         dwr_ref, dbr_ref, dws_ref, hall_ref) = rest
+                embed: bool, *refs):
+    if embed:
+        (ids_ref, wemb_ref, bemb_ref, cond_ref, gc_ref, wff_ref,
+         vc_ref, wr_ref, br_ref, ws_ref, dhout_ref, dskips_ref,
+         *rest) = refs
+        cdt = wemb_ref.dtype
+        oh1, ohp, h = _embed_h(ids_ref[...], wemb_ref, bemb_ref, cdt)
+        if save_gates:
+            (gall_in_ref, dwemb_ref, dbemb_ref, dcond_ref, dgc_ref,
+             dwff_ref, dvc_ref, dwr_ref, dbr_ref, dws_ref,
+             hall_ref) = rest
+        else:
+            (dwemb_ref, dbemb_ref, dcond_ref, dgc_ref, dwff_ref,
+             dvc_ref, dwr_ref, dbr_ref, dws_ref, hall_ref,
+             gall_ref) = rest
     else:
-        (dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
-         dwr_ref, dbr_ref, dws_ref, hall_ref, gall_ref) = rest
-    cdt = h_ref.dtype
+        (h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref,
+         br_ref, ws_ref, dhout_ref, dskips_ref, *rest) = refs
+        cdt = h_ref.dtype
+        h = h_ref[...]                               # [G, T, R]
+        if save_gates:
+            # gates were saved to HBM by the forward — pass 1 only
+            # replays the cheap residual chain (one [T,R]x[R,R]
+            # matmul per layer)
+            (gall_in_ref, dh_ref, dcond_ref, dgc_ref, dwff_ref,
+             dvc_ref, dwr_ref, dbr_ref, dws_ref, hall_ref) = rest
+        else:
+            (dh_ref, dcond_ref, dgc_ref, dwff_ref, dvc_ref,
+             dwr_ref, dbr_ref, dws_ref, hall_ref, gall_ref) = rest
     b = pl.program_id(0)
     nl = len(dils)
-    h = h_ref[...]                                   # [G, T, R]
     G, T, _ = h.shape
     cond_f = cond_ref[...].reshape(G * T, -1)
     dskips = dskips_ref[...].reshape(G * T, -1).astype(cdt)
@@ -187,6 +238,9 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
         dwr_ref[:] = jnp.zeros(dwr_ref.shape, jnp.float32)
         dbr_ref[:] = jnp.zeros(dbr_ref.shape, jnp.float32)
         dws_ref[:] = jnp.zeros(dws_ref.shape, jnp.float32)
+        if embed:
+            dwemb_ref[:] = jnp.zeros(dwemb_ref.shape, jnp.float32)
+            dbemb_ref[:] = jnp.zeros(dbemb_ref.shape, jnp.float32)
 
     for li in reversed(range(nl)):
         dil = dils[li]
@@ -228,7 +282,19 @@ def _bwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
         dh = (dh.reshape(G, T, R) + dph[..., R:]
               + _shift_left(dph[..., :R], dil)).reshape(G * T, R)
 
-    dh_ref[...] = dh.reshape(G, T, R).astype(cdt)
+    if embed:
+        # d(embedding): dh never leaves VMEM — contract it against the
+        # one-hots for the table grad instead of writing [B,T,R] to
+        # HBM for an XLA-side scatter/one-hot pass (the whole point of
+        # the fusion; the bias grad is the plain row sum)
+        dh_c = dh.astype(cdt)
+        dwemb_ref[1] += jnp.dot(oh1.T, dh_c,
+                                preferred_element_type=jnp.float32)
+        dwemb_ref[0] += jnp.dot(ohp.T, dh_c,
+                                preferred_element_type=jnp.float32)
+        dbemb_ref[0] += jnp.sum(dh, axis=0)
+    else:
+        dh_ref[...] = dh.reshape(G, T, R).astype(cdt)
     dcond_ref[...] = dcond.reshape(G, T, -1).astype(cdt)
 
 
@@ -413,8 +479,8 @@ def fused_stack_chunk(dils: Tuple[int, ...], interpret: bool,
     the batch group returns to G=2. 0/1 = the full-T backward.
     Ignored (full-T) under ``save_gates``.
     """
-    out = _chunk_fwd_call(dils, interpret, False, h, cond, gc, wff,
-                          vc, wr, br, ws, bias)
+    out = _chunk_fwd_call(dils, interpret, False, (h,), cond, gc,
+                          wff, vc, wr, br, ws, bias)
     return out[0], out[1]
 
 
@@ -429,15 +495,43 @@ def fused_stack_chunk_acc(dils: Tuple[int, ...], interpret: bool,
     the XLA combine's read+read+write.  d(skips_out)/d(skips_in) is
     the identity, so the backward passes the skips cotangent through
     unchanged (zero extra traffic)."""
-    out = _chunk_fwd_call(dils, interpret, False, h, cond, gc, wff,
-                          vc, wr, br, ws, skips_in, acc=True)
+    out = _chunk_fwd_call(dils, interpret, False, (h,), cond, gc,
+                          wff, vc, wr, br, ws, skips_in, acc=True)
+    return out[0], out[1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_stack_chunk_embed(dils: Tuple[int, ...], interpret: bool,
+                            save_gates: bool, bwd_windows: int,
+                            ids, wemb, bemb, cond, gc, wff, vc, wr,
+                            br, ws, bias
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """First-chunk variant that computes the input embedding IN the
+    kernel: ids int32 ``[B,T]``, wemb ``[2,mu,R]`` (two causal taps),
+    bemb ``[1,R]`` replace the materialized h ``[B,T,R]``.  The
+    backward contracts dh against the in-VMEM one-hots for the table
+    gradient, so neither h nor dh ever touches HBM (round-4 profile:
+    the XLA embedding fwd+bwd was 3.7 ms / 5% of the B=64 step).
+    ``bwd_windows`` is ignored (full-T backward)."""
+    out = _chunk_fwd_call(dils, interpret, False, (ids, wemb, bemb),
+                          cond, gc, wff, vc, wr, br, ws, bias,
+                          embed=True)
     return out[0], out[1]
 
 
 def _chunk_fwd_call(dils, interpret, save_gates,
-                    h, cond, gc, wff, vc, wr, br, ws, tail,
-                    acc=False):
-    B, T, R = h.shape
+                    lead, cond, gc, wff, vc, wr, br, ws, tail,
+                    acc=False, embed=False):
+    """``lead`` is ``(h,)`` or — embed variant — ``(ids, wemb, bemb)``
+    (int32 [B,T], [2,mu,R], [1,R]); the kernel then computes the input
+    embedding in VMEM instead of reading a materialized h."""
+    if embed:
+        ids, wemb, bemb = lead
+        B, T = ids.shape
+        mu, R = wemb.shape[1], wemb.shape[2]
+    else:
+        (h,) = lead
+        B, T, R = h.shape
     d = cond.shape[-1]
     nl = len(dils)
     S = ws.shape[-1]
@@ -454,18 +548,22 @@ def _chunk_fwd_call(dils, interpret, save_gates,
     import os
     G = _group_of(B, 1 if save_gates else
                   int(os.environ.get("VQVAE_FWD_WANT_G", "2")))
+    cdt = wemb.dtype if embed else h.dtype
     out_specs = [_group_spec(G, T, R), _group_spec(G, T, S)]
-    out_shape = [jax.ShapeDtypeStruct((B, T, R), h.dtype),
-                 jax.ShapeDtypeStruct((B, T, S), h.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((B, T, R), cdt),
+                 jax.ShapeDtypeStruct((B, T, S), cdt)]
     if save_gates:
         out_specs.append(_group_spec(G, nl, T, 2 * R))
-        out_shape.append(jax.ShapeDtypeStruct((B, nl, T, 2 * R),
-                                              h.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((B, nl, T, 2 * R), cdt))
+    lead_specs = ([_group_spec(G, T),               # ids (int32)
+                   _const_spec(2, mu, R),           # wemb
+                   _const_spec(1, R)]               # bemb
+                  if embed else [_group_spec(G, T, R)])   # h
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, dils, R, save_gates, acc),
+        functools.partial(_fwd_kernel, dils, R, save_gates, acc,
+                          embed),
         grid=(B // G,),
-        in_specs=[
-            _group_spec(G, T, R),           # h
+        in_specs=lead_specs + [
             _group_spec(G, T, d),           # cond
             _group_spec(G, nl, 2 * R),      # gc  [B,nl,2R]
             _const_spec(nl, 2 * R, 2 * R),  # wff
@@ -483,24 +581,46 @@ def _chunk_fwd_call(dils, interpret, save_gates,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(h, cond, gc, wff, vc, wr, br, ws, tail)
+    )(*lead, cond, gc, wff, vc, wr, br, ws, tail)
     return out
 
 
 def _chunk_vjp_fwd(dils, interpret, save_gates, bwd_windows,
                    h, cond, gc, wff, vc, wr, br, ws, bias):
-    out = _chunk_fwd_call(dils, interpret, save_gates, h, cond, gc,
-                          wff, vc, wr, br, ws, bias)
+    out = _chunk_fwd_call(dils, interpret, save_gates, (h,), cond,
+                          gc, wff, vc, wr, br, ws, bias)
     gall = out[2] if save_gates else None
     return tuple(out[:2]), (h, cond, gc, wff, vc, wr, br, ws, gall)
 
 
 def _chunk_vjp_fwd_acc(dils, interpret, save_gates, bwd_windows,
                        h, cond, gc, wff, vc, wr, br, ws, skips_in):
-    out = _chunk_fwd_call(dils, interpret, save_gates, h, cond, gc,
-                          wff, vc, wr, br, ws, skips_in, acc=True)
+    out = _chunk_fwd_call(dils, interpret, save_gates, (h,), cond,
+                          gc, wff, vc, wr, br, ws, skips_in, acc=True)
     gall = out[2] if save_gates else None
     return tuple(out[:2]), (h, cond, gc, wff, vc, wr, br, ws, gall)
+
+
+def _chunk_vjp_fwd_embed(dils, interpret, save_gates, bwd_windows,
+                         ids, wemb, bemb, cond, gc, wff, vc, wr, br,
+                         ws, bias):
+    out = _chunk_fwd_call(dils, interpret, save_gates,
+                          (ids, wemb, bemb), cond, gc, wff, vc, wr,
+                          br, ws, bias, embed=True)
+    gall = out[2] if save_gates else None
+    return tuple(out[:2]), (ids, wemb, bemb, cond, gc, wff, vc, wr,
+                            br, ws, gall)
+
+
+def _chunk_vjp_bwd_embed(dils, interpret, save_gates, bwd_windows,
+                         res, cots):
+    import numpy as np
+    dbias = jnp.sum(cots[1].astype(jnp.float32),
+                    axis=(0, 1)).reshape(1, -1).astype(res[1].dtype)
+    # ids are integers: their cotangent is float0 by JAX convention
+    dids = np.zeros(res[0].shape, jax.dtypes.float0)
+    return (dids,) + _chunk_grads(dils, interpret, save_gates, 0,
+                                  res, cots, embed=True) + (dbias,)
 
 
 def _chunk_vjp_bwd(dils, interpret, save_gates, bwd_windows, res, cots):
@@ -521,20 +641,32 @@ def _chunk_vjp_bwd_acc(dils, interpret, save_gates, bwd_windows,
                         res, cots) + (cots[1],)
 
 
-def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots):
+def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots,
+                 embed=False):
     if bwd_windows > 1 and not save_gates:
         return _chunk_bwd_windowed_call(dils, interpret, bwd_windows,
                                         res, cots)
-    h, cond, gc, wff, vc, wr, br, ws, gall = res
+    if embed:
+        ids, wemb, bemb, cond, gc, wff, vc, wr, br, ws, gall = res
+        B, T = ids.shape
+        mu, R = wemb.shape[1], wemb.shape[2]
+        cdt = wemb.dtype
+        lead_specs = [_group_spec(G_ := _group_of(B, 1), T),
+                      _const_spec(2, mu, R), _const_spec(1, R)]
+        lead_args = [ids, wemb, bemb]
+    else:
+        h, cond, gc, wff, vc, wr, br, ws, gall = res
+        B, T, R = h.shape
+        cdt = h.dtype
+        lead_specs = [_group_spec(G_ := _group_of(B, 1), T, R)]
+        lead_args = [h]
     dhout, dskips = cots
-    B, T, R = h.shape
     d = cond.shape[-1]
     nl = len(dils)
     S = ws.shape[-1]
     f32 = jnp.float32
-    G = _group_of(B, 1)
-    in_specs = [
-        _group_spec(G, T, R),           # h
+    G = G_
+    in_specs = lead_specs + [
         _group_spec(G, T, d),           # cond
         _group_spec(G, nl, 2 * R),      # gc
         _const_spec(nl, 2 * R, 2 * R),  # wff
@@ -545,24 +677,31 @@ def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots):
         _group_spec(G, T, R),           # dhout
         _group_spec(G, T, S),           # dskips
     ]
-    args = [h, cond, gc, wff, vc, wr, br, ws, dhout, dskips]
+    args = lead_args + [cond, gc, wff, vc, wr, br, ws, dhout, dskips]
     scratch_shapes = [
         # recomputed layer inputs, parked across the reverse sweep
         # (nl<=10: ~10 MB at T=7680, R=64, G=1)
-        pltpu.VMEM((nl, G, T, R), h.dtype),
+        pltpu.VMEM((nl, G, T, R), cdt),
     ]
     if save_gates:
         in_specs.append(_group_spec(G, nl, T, 2 * R))
         args.append(gall)
     else:
         # gate halves recomputed in pass 1 (another ~20 MB scratch)
-        scratch_shapes.append(pltpu.VMEM((nl, G, T, 2 * R), h.dtype))
-    dh, dcond, dgc, dwff, dvc, dwr, dbr, dws = pl.pallas_call(
-        functools.partial(_bwd_kernel, dils, R, save_gates),
+        scratch_shapes.append(pltpu.VMEM((nl, G, T, 2 * R), cdt))
+    # embed variant: dh never leaves the kernel — the leading outputs
+    # are the (grid-accumulated) embedding-table/bias grads instead
+    lead_out_specs = ([_const_spec(2, mu, R), _const_spec(1, R)]
+                      if embed else [_group_spec(G, T, R)])
+    lead_out_shape = ([jax.ShapeDtypeStruct((2, mu, R), f32),
+                       jax.ShapeDtypeStruct((1, R), f32)]
+                      if embed else
+                      [jax.ShapeDtypeStruct((B, T, R), cdt)])
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, dils, R, save_gates, embed),
         grid=(B // G,),
         in_specs=in_specs,
-        out_specs=[
-            _group_spec(G, T, R),           # dh
+        out_specs=lead_out_specs + [
             _group_spec(G, T, d),           # dcond
             _group_spec(G, nl, 2 * R),      # dgc [B,nl,2R]
             _const_spec(nl, 2 * R, 2 * R),  # dwff (grid-accumulated)
@@ -571,8 +710,7 @@ def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots):
             _const_spec(nl, R),             # dbr
             _const_spec(nl, R, S),          # dws
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, R), h.dtype),
+        out_shape=lead_out_shape + [
             jax.ShapeDtypeStruct((B, T, d), cond.dtype),
             jax.ShapeDtypeStruct((B, nl, 2 * R), f32),
             jax.ShapeDtypeStruct((nl, 2 * R, 2 * R), f32),
@@ -587,9 +725,17 @@ def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots):
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return (dh, dcond, dgc.astype(gc.dtype), dwff.astype(wff.dtype),
-            dvc.astype(vc.dtype), dwr.astype(wr.dtype),
-            dbr.astype(br.dtype), dws.astype(ws.dtype))
+    if embed:
+        dwemb, dbemb, dcond, dgc, dwff, dvc, dwr, dbr, dws = out
+        lead_grads = (dwemb.astype(wemb.dtype),
+                      dbemb.astype(bemb.dtype))
+    else:
+        dh, dcond, dgc, dwff, dvc, dwr, dbr, dws = out
+        lead_grads = (dh,)
+    return lead_grads + (
+        dcond, dgc.astype(gc.dtype), dwff.astype(wff.dtype),
+        dvc.astype(vc.dtype), dwr.astype(wr.dtype),
+        dbr.astype(br.dtype), dws.astype(ws.dtype))
 
 
 def _chunk_bwd_windowed_call(dils, interpret, n_windows, res, cots):
@@ -687,6 +833,8 @@ def _chunk_bwd_windowed_call(dils, interpret, n_windows, res, cots):
 
 fused_stack_chunk.defvjp(_chunk_vjp_fwd, _chunk_vjp_bwd)
 fused_stack_chunk_acc.defvjp(_chunk_vjp_fwd_acc, _chunk_vjp_bwd_acc)
+fused_stack_chunk_embed.defvjp(_chunk_vjp_fwd_embed,
+                               _chunk_vjp_bwd_embed)
 
 
 def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
