@@ -4,42 +4,172 @@ core (BASELINE.md target: >= 50x real-time @ 16 kHz per core, i.e.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/s/core", "vs_baseline": N,
-   "training": {...}, "pallas_sampling": {...}}
+   "ok": bool, "wall_s": {...}, "budget": {...}, <witnesses...>}
 
 vs_baseline is measured throughput / 800k (the driver target; the
 reference itself publishes no numbers — BASELINE.json.published == {}).
 
-The extra keys record the north star's other halves so every
-BENCH_r*.json is a witness, not a prose claim (VERDICT round 1):
-  training        — flagship train-step throughput + MFU vs the v5e
-                    bf16 roofline (197 TFLOP/s), FLOPs from XLA's own
-                    cost analysis of the compiled step
-  pallas_sampling — the fused decode kernel run in stochastic-sampling
-                    mode on the real TPU: ids full-range and
-                    seed-sensitive
-  serving         — warm request latency through the real vqvae-serve
-                    stack (in-process daemon thread + CodecClient over
-                    a UNIX socket) on the flagship model
+Budget discipline (VERDICT r4 #1: BENCH_r04 timed out and lost ALL
+data because the single JSON line printed only after every witness):
 
-Env knobs: BENCH_SECONDS, BENCH_BATCH, BENCH_TRAIN=0, BENCH_PALLAS=0,
-BENCH_SERVE=0, BENCH_TRAIN_BATCH, BENCH_DEVICE_TIMEOUT (seconds before
-the device-init watchdog fails the run with a JSON error line).
+* A global deadline (``BENCH_BUDGET_S``, default 1200 s) is enforced
+  by a watchdog thread: on expiry it prints the record accumulated SO
+  FAR and exits 0 — an overrun degrades to partial data, never to
+  ``parsed=null``.  Any crash emits the partial record too.
+* The record is built incrementally and witnesses run cheapest /
+  highest-value first: synthesis (the headline) -> training_best ->
+  pallas_sampling -> serving -> training -> kernel_parity ->
+  engine_agreement.  Each witness is skipped (recorded as such) when
+  the remaining budget is below its cost estimate.
+* Per-witness wall seconds are recorded in ``wall_s`` so the next
+  budget regression is visible in the artifact itself.
+* Compile count is cut: kernel_parity checks the SHIPPED config
+  (pallas_sg + head) plus one variant (the rest were witnessed in
+  BENCH_r03 and are unchanged; ``BENCH_FULL=1`` restores them), and
+  engine_agreement runs 4k AR steps, not 16k.
+
+Every witness carries a falsifiable ``ok`` (VERDICT r4 weak #4), and
+the top-level ``ok`` is the AND of all present ones:
+  synthesis        gate: vs_baseline >= BENCH_MIN_SYNTH_X   (1.0)
+  training_best    gate: utt/s >= BENCH_MIN_TRAIN_UTT       (800)
+  training         gate: utt/s >= BENCH_MIN_TRAIN16_UTT     (600)
+  serving          gate: realtime decode AND sustained session pushes
+                   (stream_push_p50_ms <= stream_push_audio_ms)
+  kernel_parity    gate: bf16 tolerance (BENCH_PARITY_TOL)
+  engine_agreement gate: SAME-ENGINE determinism — the documented
+                   guarantee (docs/SERVING.md); the cross-engine
+                   agreement rate is recorded as a measurement, which
+                   is all the docs claim for it.
+
+``BENCH_SMOKE=1`` runs every witness at toy shapes (CPU-runnable,
+<2 min) so wiring/JSON-shape regressions are caught before a long TPU
+run discovers them (tests/test_bench_smoke.py).
+
+Env knobs: BENCH_BUDGET_S, BENCH_SMOKE, BENCH_SECONDS, BENCH_BATCH,
+BENCH_TRAIN=0, BENCH_PALLAS=0, BENCH_SERVE=0, BENCH_PARITY=0,
+BENCH_FULL=1, BENCH_TRAIN_BATCH, BENCH_AGREE_STEPS,
+BENCH_DEVICE_TIMEOUT, and the gate overrides named above.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the 'axon' TPU plugin on this machine ignores the JAX_PLATFORMS env
+# var (see tests/conftest.py); honor it explicitly so BENCH_SMOKE can
+# actually run on CPU instead of contending for the real chip
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 BASELINE_SAMPLES_PER_SEC = 800_000.0  # 50x realtime @ 16 kHz
-SECONDS = float(os.environ.get("BENCH_SECONDS", 1.0))
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))  # batched streams
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip (1 core) — TPU v5e / v5 lite
+
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+FULL = os.environ.get("BENCH_FULL") == "1"
+SECONDS = float(os.environ.get("BENCH_SECONDS", 0.064 if SMOKE else 1.0))
+BATCH = int(os.environ.get("BENCH_BATCH", 8 if SMOKE else 2048))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S",
+                                150 if SMOKE else 1200))
+PRESET = "tiny" if SMOKE else "vctk-multi"
+
+T0 = time.monotonic()
+
+
+def _gate_env(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v is not None else default
+
+
+MIN_SYNTH_X = _gate_env("BENCH_MIN_SYNTH_X", 0.0 if SMOKE else 1.0)
+MIN_TRAIN_UTT = _gate_env("BENCH_MIN_TRAIN_UTT", 0.0 if SMOKE else 800.0)
+MIN_TRAIN16_UTT = _gate_env("BENCH_MIN_TRAIN16_UTT",
+                            0.0 if SMOKE else 600.0)
+PARITY_TOL = _gate_env("BENCH_PARITY_TOL", 5e-2)
+
+# the one JSON record, built incrementally so a deadline/crash emission
+# carries everything measured so far
+REC: dict = {
+    "metric": f"fast_ar_synthesis_throughput_b{BATCH}",
+    "value": 0.0,
+    "unit": "samples/s/core",
+    "vs_baseline": 0.0,
+}
+_emit_lock = threading.Lock()
+_emitted = False
+
+# per-witness wall-clock cost estimates (seconds, cold XLA cache on the
+# tunneled v5e; warm-cache runs come in far under these). A witness is
+# skipped — recorded, not lost — when the remaining budget is smaller.
+EST_S = {
+    "synthesis": 150,
+    "training_best": 240,
+    "pallas_sampling": 60,
+    "serving": 300,
+    "training": 150,
+    "kernel_parity": 300,
+    "engine_agreement": 240,
+}
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def _overall_ok(rec: dict) -> bool:
+    oks = [bool(rec.get("vs_baseline", 0.0) >= MIN_SYNTH_X)]
+    for v in rec.values():
+        if isinstance(v, dict) and isinstance(v.get("ok"), bool):
+            oks.append(v["ok"])
+    return all(oks)
+
+
+def _emit(status: str, code: int = 0) -> None:
+    """Print the (possibly partial) record exactly once and flush."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        REC["ok"] = _overall_ok(REC)
+        REC["budget"] = {"budget_s": BUDGET_S,
+                         "used_s": round(time.monotonic() - T0, 1),
+                         "status": status}
+        print(json.dumps(REC), flush=True)
+    if code or status != "done":
+        os._exit(code)
+
+
+def _deadline_watchdog() -> None:
+    """Emit the partial record and exit 0 when the budget expires —
+    rc=124 with parsed=null (BENCH_r04) must never happen again."""
+    def _watch():
+        delay = BUDGET_S - (time.monotonic() - T0)
+        if delay > 0:
+            time.sleep(delay)
+        _emit("deadline", code=0)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
+def _run(name: str, fn, *args, **kw) -> None:
+    est = 10.0 if SMOKE else EST_S.get(name, 120.0)
+    if _remaining() < est:
+        REC[name] = {"skipped": f"budget: {_remaining():.0f}s left "
+                                f"< est {est:.0f}s"}
+        return
+    t0 = time.monotonic()
+    try:
+        REC[name] = fn(*args, **kw)
+    except Exception as exc:  # noqa: BLE001
+        REC[name] = {"ok": False, "error": repr(exc)}
+    REC.setdefault("wall_s", {})[name] = round(time.monotonic() - t0, 1)
 
 
 def _bench_synthesis(cfg) -> float:
@@ -55,7 +185,6 @@ def _bench_synthesis(cfg) -> float:
     codes = jnp.asarray(rng.integers(0, cfg.K, (BATCH, T_lat)), jnp.int32)
     speaker = jnp.asarray(rng.integers(0, cfg.n_speakers, (BATCH,)),
                           jnp.int32)
-    key = jax.random.PRNGKey(1)
 
     # compile + warmup; NOTE: on the axon TPU platform
     # block_until_ready() does not reliably block, so every sync below
@@ -63,20 +192,24 @@ def _bench_synthesis(cfg) -> float:
     # decode_from_codes_lowmem computes the audio-rate condition
     # chunk-by-chunk inside the scan (docs/PERF.md) — both faster and
     # the enabler for B >= 2048.
-    out = decode_from_codes_lowmem(params, cfg, codes, speaker, key)
+    chunk = min(1024, T)
+    out = decode_from_codes_lowmem(params, cfg, codes, speaker,
+                                   jax.random.PRNGKey(1),
+                                   chunk_samples=chunk)
     jax.device_get(out)
 
     # best-of-repeats: the tunneled platform occasionally degrades a
     # whole process's device throughput 2x for minutes at a time
     # (observed 2026-08-17: 6.4M vs 14.5M for the bit-identical
     # program, interleaved runs) — the max is the machine's number
-    runs = 3
+    runs, reps = (1, 1) if SMOKE else (3, 2)
     best_dt = float("inf")
-    for r in range(2):
+    for r in range(reps):
         t0 = time.perf_counter()
         for i in range(runs):
             out = decode_from_codes_lowmem(params, cfg, codes, speaker,
-                                           jax.random.PRNGKey(i))
+                                           jax.random.PRNGKey(i),
+                                           chunk_samples=chunk)
             jax.device_get(out[:, -1])
         best_dt = min(best_dt, (time.perf_counter() - t0) / runs)
     return BATCH * T / best_dt
@@ -84,8 +217,10 @@ def _bench_synthesis(cfg) -> float:
 
 def _bench_training(B: int | None = None,
                     decoder_kernel: str | None = None,
-                    head_kernel: str | None = None) -> dict:
-    """Flagship (vctk-multi) train-step throughput and MFU on one chip."""
+                    head_kernel: str | None = None,
+                    min_utt: float = 0.0) -> dict:
+    """Train-step throughput and MFU on one chip (flagship preset; the
+    tiny preset under BENCH_SMOKE)."""
     import dataclasses
 
     from vqvae_tpu.configs import get_config
@@ -94,8 +229,10 @@ def _bench_training(B: int | None = None,
 
     if B is None:
         B = int(os.environ.get("BENCH_TRAIN_BATCH", 16))
-    cfg = get_config("vctk-multi")
+    cfg = get_config(PRESET)
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=B))
+    if SMOKE:
+        decoder_kernel, head_kernel = None, None
     if decoder_kernel is not None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, decoder_kernel=decoder_kernel))
@@ -125,9 +262,9 @@ def _bench_training(B: int | None = None,
     for _ in range(3):  # compile + warmup
         state, metrics = step(state, wav, spk)
     jax.device_get(metrics["loss"])
-    runs = 10
-    dt = float("inf")  # best-of-2 (see _bench_synthesis note)
-    for _ in range(2):
+    runs, reps = (2, 1) if SMOKE else (10, 2)
+    dt = float("inf")  # best-of-reps (see _bench_synthesis note)
+    for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(runs):
             state, metrics = step(state, wav, spk)
@@ -135,7 +272,12 @@ def _bench_training(B: int | None = None,
         dt = min(dt, (time.perf_counter() - t0) / runs)
 
     rec = {"batch": B, "ms_per_step": round(dt * 1e3, 2),
-           "utt_per_s": round(B / dt, 1)}
+           "utt_per_s": round(B / dt, 1),
+           "ok": bool(B / dt >= min_utt)}
+    if decoder_kernel is not None:
+        rec["decoder_kernel"] = decoder_kernel
+    if head_kernel is not None:
+        rec["head_kernel"] = head_kernel
     if flops:
         rec["step_tflops"] = round(flops / 1e12, 3)
         rec["mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
@@ -181,12 +323,14 @@ def _witness_kernel_parity() -> dict:
 
     (a) decode kernel: teacher_logits_pallas == apply_decoder
     (b) training kernels: forward loss AND global grad-norm of the
-        pallas / pallas_sg / windowed-bwd / fused-head-CE stacks ==
-        the XLA layer loop
+        SHIPPED stack (pallas_sg + fused head+CE) and the recompute
+        variant == the XLA layer loop.  (pallas_sg / pallas_w4 /
+        head_ce-alone were pinned on chip in BENCH_r03/r04 sessions
+        and are code-unchanged; BENCH_FULL=1 re-runs them.)
 
     Records max relative deltas; ok = all within bf16-accumulation
-    tolerance (5e-2 on logits/grads — the compute dtype is bfloat16,
-    reductions differ in order between the kernels and XLA).
+    tolerance (PARITY_TOL on logits/grads — the compute dtype is
+    bfloat16, reductions differ in order between kernels and XLA).
     """
     if jax.devices()[0].platform != "tpu":
         return {"skipped": "requires tpu"}
@@ -240,15 +384,20 @@ def _witness_kernel_parity() -> dict:
         return float(jax.device_get(loss)), float(jax.device_get(gn))
 
     l_ref, gn_ref = loss_grad(cfg)
-    train_deltas = {}
-    for name, kw in (
-            ("pallas", {"decoder_kernel": "pallas"}),
+    variants = [
+        ("pallas_sg+head", {"decoder_kernel": "pallas_sg",
+                            "head_kernel": "pallas"}),
+        ("pallas", {"decoder_kernel": "pallas"}),
+    ]
+    if FULL:
+        variants += [
             ("pallas_sg", {"decoder_kernel": "pallas_sg"}),
             ("pallas_w4", {"decoder_kernel": "pallas",
                            "bwd_time_windows": 4}),
             ("head_ce", {"head_kernel": "pallas"}),
-            ("pallas_sg+head", {"decoder_kernel": "pallas_sg",
-                                "head_kernel": "pallas"})):
+        ]
+    train_deltas = {}
+    for name, kw in variants:
         l, gn = loss_grad(dataclasses.replace(cfg, **kw))
         train_deltas[name] = {
             "loss_rel_delta": round(abs(l - l_ref) / (abs(l_ref) + 1e-9),
@@ -258,23 +407,28 @@ def _witness_kernel_parity() -> dict:
         }
     out["train_vs_xla"] = train_deltas
     out["xla_loss"] = round(l_ref, 5)
-    tol = 5e-2
     out["ok"] = bool(
-        d_dec < tol and all(
-            v["loss_rel_delta"] < tol and v["gradnorm_rel_delta"] < tol
+        d_dec < PARITY_TOL and all(
+            v["loss_rel_delta"] < PARITY_TOL
+            and v["gradnorm_rel_delta"] < PARITY_TOL
             for v in train_deltas.values()))
     return out
 
 
 def _witness_engine_agreement() -> dict:
-    """Greedy id agreement between the fused Pallas decode kernel and
-    the lax-scan engine ON CHIP, flagship shapes (VERDICT r3 weak #1:
-    interpret-mode tests pin greedy identity on CPU, but the kernel's
-    bf16 logits differ from XLA's f32-accumulating path by up to ~1.5%
-    rel on hardware, so greedy argmax CAN flip at near-ties — and
-    generation is autoregressive, so one flip changes the whole tail).
-    Records the agreement rate and the first divergence step; the docs
-    scope their cross-engine claims to this measurement."""
+    """Same-engine determinism (the documented guarantee,
+    docs/SERVING.md) plus the cross-engine greedy agreement rate ON
+    CHIP at flagship shapes.
+
+    The kernel's bf16 logits sit within ~1.5% rel of XLA's f32 path,
+    so greedy argmax CAN flip at near-ties — and generation is
+    autoregressive, so one flip changes the whole tail; the agreement
+    rate and first divergence step are recorded as MEASUREMENTS (the
+    docs scope their cross-engine claims to exactly this).  What the
+    docs DO guarantee — each engine is bit-exact against itself at
+    equal seed — is gated: ok = both engines reproduce their own ids
+    on a re-run (VERDICT r4 weak #4: a witness that can't fail is a
+    measurement, not a witness)."""
     if jax.devices()[0].platform != "tpu":
         return {"skipped": "requires tpu"}
     from vqvae_tpu.configs import get_config
@@ -283,7 +437,9 @@ def _witness_engine_agreement() -> dict:
     from vqvae_tpu.models.wavenet import upsample_cond
 
     cfg = get_config("vctk-multi").model
-    B, steps = 4, 16384                      # >= 16k AR steps
+    B = 4
+    steps = int(os.environ.get("BENCH_AGREE_STEPS",
+                               16384 if FULL else 4096))
     T_lat = steps // cfg.hop
     params = init_model(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(3)
@@ -292,10 +448,14 @@ def _witness_engine_agreement() -> dict:
     e = params["vq"]["codebook"][codes]
     cond = upsample_cond(params["decoder"], cfg, e)
     key = jax.random.PRNGKey(7)
-    ids = {}
+    ids, det = {}, {}
     for impl in ("lax", "pallas"):
-        ids[impl] = np.asarray(jax.device_get(generate_ids(
+        a = np.asarray(jax.device_get(generate_ids(
             params, cfg, cond, spk, key, greedy=True, impl=impl)))
+        b = np.asarray(jax.device_get(generate_ids(
+            params, cfg, cond, spk, key, greedy=True, impl=impl)))
+        ids[impl] = a
+        det[impl] = bool(np.array_equal(a, b))
     eq = ids["lax"] == ids["pallas"]
     diverged = ~eq.all(axis=1)
     first = [int(np.argmax(~eq[b])) if diverged[b] else -1
@@ -304,7 +464,10 @@ def _witness_engine_agreement() -> dict:
             "agreement_rate": round(float(eq.mean()), 4),
             "streams_diverged": int(diverged.sum()),
             "first_divergence_step": first,
-            "identical": bool(eq.all())}
+            "identical": bool(eq.all()),
+            "deterministic_lax": det["lax"],
+            "deterministic_pallas": det["pallas"],
+            "ok": det["lax"] and det["pallas"]}
 
 
 def _witness_serving() -> dict:
@@ -314,12 +477,17 @@ def _witness_serving() -> dict:
     CodecClient talks to it over an actual UNIX socket — the same
     wire path scripts/serve_bench.py and applications use.  Records
     warm per-request decode latency for 1 s of audio (p50/p95 over 10
-    requests) and the realtime factor, plus one warm encode latency.
-    """
+    requests), the realtime factor, one warm encode latency, and the
+    live-session numbers: time-to-first-audio and the sustained
+    per-push rate at the default session width.
+
+    ok gates BOTH realtime whole-request decode AND sustained session
+    pushes (stream_push_p50_ms <= stream_push_audio_ms) — VERDICT r4
+    weak #3: a live client stutters if steady pushes run sub-realtime,
+    and nothing flagged it."""
     if jax.devices()[0].platform != "tpu":
         return {"skipped": "requires tpu"}
     import tempfile
-    import threading
 
     from vqvae_tpu.cli.serve import Codec, serve
     from vqvae_tpu.client import CodecClient
@@ -389,21 +557,26 @@ def _witness_serving() -> dict:
             # of audio; the push must cost less wall time than that
             out["stream_push_audio_ms"] = round(g * hop / sr * 1e3, 1)
         c.shutdown()
-    # the XLA-scan engine, same wire path, for the comparison number
-    codec.engine = "stream"
-    for g in (True, False):
-        codec.decode(np.zeros(33, np.int32), greedy=g)  # warm set
-        codec.decode(np.zeros(1, np.int32), greedy=g)
-    codec.decode(codes, seed=99)
-    lat = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        codec.decode(codes, seed=i)
-        lat.append(time.perf_counter() - t0)
-    out["stream_engine_decode_1s_p50_ms"] = round(
-        float(np.percentile(np.asarray(lat) * 1e3, 50)), 1)
+    if FULL:
+        # the XLA-scan engine, same wire path, for the comparison
+        # number (heavy: its own AR-scan compiles — BENCH_FULL only)
+        codec.engine = "stream"
+        for gr in (True, False):
+            codec.decode(np.zeros(33, np.int32), greedy=gr)  # warm set
+            codec.decode(np.zeros(1, np.int32), greedy=gr)
+        codec.decode(codes, seed=99)
+        lat = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            codec.decode(codes, seed=i)
+            lat.append(time.perf_counter() - t0)
+        out["stream_engine_decode_1s_p50_ms"] = round(
+            float(np.percentile(np.asarray(lat) * 1e3, 50)), 1)
     out["engine"] = "pallas"
-    out["ok"] = bool(out["decode_realtime_x"] > 1.0)
+    out["sustained_session_realtime"] = bool(
+        out["stream_push_p50_ms"] <= out["stream_push_audio_ms"])
+    out["ok"] = bool(out["decode_realtime_x"] > 1.0
+                     and out["sustained_session_realtime"])
     return out
 
 
@@ -415,21 +588,13 @@ def _device_watchdog(timeout_s: float):
     this the driver's bench run would hang instead of recording a
     diagnosable failure. Returns an Event to set once the device
     answered."""
-    import threading
-
     ready = threading.Event()
 
     def _watch():
         if not ready.wait(timeout_s):
-            print(json.dumps({
-                "metric": "fast_ar_synthesis_throughput",
-                "value": 0.0,
-                "unit": "samples/s/core",
-                "vs_baseline": 0.0,
-                "error": "device init did not complete within "
-                         f"{timeout_s:.0f}s (TPU tunnel down?)",
-            }), flush=True)
-            os._exit(2)
+            REC["error"] = ("device init did not complete within "
+                            f"{timeout_s:.0f}s (TPU tunnel down?)")
+            _emit("device-init-timeout", code=2)
 
     threading.Thread(target=_watch, daemon=True).start()
     return ready
@@ -438,55 +603,47 @@ def _device_watchdog(timeout_s: float):
 def main() -> None:
     from vqvae_tpu.configs import get_config
 
+    _deadline_watchdog()
     ready = _device_watchdog(
         float(os.environ.get("BENCH_DEVICE_TIMEOUT", 900)))
     jax.devices()          # blocks on tunnel init; watchdog covers it
     ready.set()
 
-    cfg = get_config("vctk-multi").model  # flagship: 30-layer WaveNet
-    samples_per_sec = _bench_synthesis(cfg)
-    rec = {
-        "metric": "fast_ar_synthesis_throughput_b" + str(BATCH),
-        "value": round(samples_per_sec, 1),
-        "unit": "samples/s/core",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC,
-                             3),
-    }
-    if os.environ.get("BENCH_PALLAS", "1") != "0":
+    cfg = get_config(PRESET).model  # flagship: 30-layer WaveNet
+    try:
+        # -------- headline first: never lose it to a later overrun ----
+        t0 = time.monotonic()
         try:
-            rec["pallas_sampling"] = _witness_pallas_sampling(cfg)
+            samples_per_sec = _bench_synthesis(cfg)
+            REC["value"] = round(samples_per_sec, 1)
+            REC["vs_baseline"] = round(
+                samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3)
         except Exception as exc:  # noqa: BLE001
-            rec["pallas_sampling"] = {"ok": False, "error": repr(exc)}
-    if os.environ.get("BENCH_PARITY", "1") != "0":
-        try:
-            rec["kernel_parity"] = _witness_kernel_parity()
-        except Exception as exc:  # noqa: BLE001
-            rec["kernel_parity"] = {"ok": False, "error": repr(exc)}
-        try:
-            rec["engine_agreement"] = _witness_engine_agreement()
-        except Exception as exc:  # noqa: BLE001
-            rec["engine_agreement"] = {"ok": False, "error": repr(exc)}
-    if os.environ.get("BENCH_SERVE", "1") != "0":
-        try:
-            rec["serving"] = _witness_serving()
-        except Exception as exc:  # noqa: BLE001
-            rec["serving"] = {"ok": False, "error": repr(exc)}
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        try:
-            rec["training"] = _bench_training()
-        except Exception as exc:  # noqa: BLE001
-            rec["training"] = {"error": repr(exc)}
-        # the best measured training configuration (docs/PERF.md):
-        # B=64 with the save-gates backward + fused head+CE + chained
-        # skip accumulator (72.8 ms/step, round-4 measurement)
-        try:
-            rec["training_best"] = _bench_training(
-                B=64, decoder_kernel="pallas_sg", head_kernel="pallas")
-            rec["training_best"]["decoder_kernel"] = "pallas_sg"
-            rec["training_best"]["head_kernel"] = "pallas"
-        except Exception as exc:  # noqa: BLE001
-            rec["training_best"] = {"error": repr(exc)}
-    print(json.dumps(rec))
+            REC["error"] = repr(exc)
+        REC["wall_s"] = {"synthesis": round(time.monotonic() - t0, 1)}
+
+        # -------- then the rest, cheapest/highest-value first ---------
+        if os.environ.get("BENCH_TRAIN", "1") != "0":
+            # the best measured training configuration (docs/PERF.md):
+            # B=64, save-gates backward + fused head+CE + chained skip
+            # accumulator
+            _run("training_best", _bench_training, B=4 if SMOKE else 64,
+                 decoder_kernel="pallas_sg", head_kernel="pallas",
+                 min_utt=MIN_TRAIN_UTT)
+        if os.environ.get("BENCH_PALLAS", "1") != "0":
+            _run("pallas_sampling", _witness_pallas_sampling, cfg)
+        if os.environ.get("BENCH_SERVE", "1") != "0":
+            _run("serving", _witness_serving)
+        if os.environ.get("BENCH_TRAIN", "1") != "0" and not SMOKE:
+            _run("training", _bench_training, min_utt=MIN_TRAIN16_UTT)
+        if os.environ.get("BENCH_PARITY", "1") != "0":
+            _run("kernel_parity", _witness_kernel_parity)
+            _run("engine_agreement", _witness_engine_agreement)
+    except BaseException as exc:  # noqa: BLE001
+        REC["error"] = repr(exc)
+        _emit(f"crashed: {type(exc).__name__}", code=0)
+        raise
+    _emit("done")
 
 
 if __name__ == "__main__":
