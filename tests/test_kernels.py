@@ -185,6 +185,80 @@ def test_train_stack_pallas_multi_chunk(kernel):
             rtol=1e-3, err_msg=f"grad mismatch at {path}")
 
 
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_sg"])
+def test_train_stack_pallas_embed_in_kernel(kernel):
+    """embed_in_kernel=True: the first chunk computes the input
+    embedding in-kernel (fused_stack_chunk_embed — ids + the [2,mu,R]
+    table in, h/dh never in HBM) and still matches the lax loop:
+    identical loss and near-identical gradients for every leaf,
+    INCLUDING the embedding table/bias (the custom-vjp's one-hot
+    contraction)."""
+    import dataclasses
+    from vqvae_tpu.audio.framing import frame_batch
+    from vqvae_tpu.models import forward
+
+    cfg_x = get_config("tiny").model     # L=10 -> one (embed) chunk
+    cfg_p = dataclasses.replace(cfg_x, decoder_kernel=kernel,
+                                embed_in_kernel=True)
+    params = init_model(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 1025)), jnp.float32)
+    batch = frame_batch(wav, jnp.asarray([0, 1]), cfg_x.mu)
+
+    def loss_fn(cfg):
+        return lambda p: forward(p, cfg, batch)[0]
+
+    l_x, g_x = jax.value_and_grad(loss_fn(cfg_x))(params)
+    l_p, g_p = jax.value_and_grad(loss_fn(cfg_p))(params)
+    np.testing.assert_allclose(float(l_x), float(l_p), rtol=1e-6)
+    emb_leaves = 0
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_p)[0]):
+        if "emb" in str(path):
+            emb_leaves += 1
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4 * scale + 1e-8,
+            rtol=1e-3, err_msg=f"grad mismatch at {path}")
+    assert emb_leaves >= 2   # the table AND bias grads were compared
+
+
+def test_train_stack_pallas_embed_multi_chunk():
+    """embed_in_kernel with a >MAX_CHUNK_LAYERS stack: the FIRST chunk
+    is the embed kernel, the rest chain through fused_stack_chunk_acc
+    — the embed chunk's h output must hand off exactly."""
+    import dataclasses
+    cfg_x = get_config("tiny").model
+    cfg_x = dataclasses.replace(cfg_x, n_loop=2, n_layer=8)  # L=16 -> 2
+    cfg_p = dataclasses.replace(cfg_x, decoder_kernel="pallas_sg",
+                                embed_in_kernel=True)
+    params = init_model(jax.random.PRNGKey(5), cfg_x)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 256), 0,
+                             cfg_x.mu)
+    Tl = 256 // cfg_x.hop
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, Tl, cfg_x.d))
+    cond = upsample_cond(params["decoder"], cfg_x, e)
+    spk = jnp.asarray([0, 1])
+
+    def out_sum(cfg):
+        def f(p):
+            lg = apply_decoder(p["decoder"], cfg, ids, cond, spk)
+            return jnp.sum(lg * jnp.cos(lg * 0.1))
+        return f
+
+    v_x, g_x = jax.value_and_grad(out_sum(cfg_x))(params)
+    v_p, g_p = jax.value_and_grad(out_sum(cfg_p))(params)
+    np.testing.assert_allclose(float(v_x), float(v_p), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_x)[0],
+            jax.tree_util.tree_flatten_with_path(g_p)[0]):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4 * scale + 1e-8,
+            rtol=1e-3, err_msg=f"grad mismatch at {path}")
+
+
 # ---- fused head + softmax-CE TRAINING kernel (interpret on CPU) ----
 
 

@@ -168,6 +168,36 @@ def test_head_ce_kernel_dp_and_tp():
     assert abs(losses["dp"] - losses["dp_tp"]) < 1e-4, losses
 
 
+def test_embed_kernel_dp_and_tp():
+    """embed_in_kernel (the first chunk computes the input embedding
+    in-kernel, fused_stack_chunk_embed) composes with pjit sharding in
+    the full shipping combination (pallas_sg + fused head+CE): 8-way
+    DP matches 1 device and the 4x2 DP+TP mesh matches pure DP — the
+    grid-accumulated [2,mu,R] table gradient must survive the batch
+    shard and the psum."""
+    cfg = _cfg()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, decoder_kernel="pallas_sg", head_kernel="pallas",
+        embed_in_kernel=True))
+    wav, spk = _one_batch(cfg)
+    losses = {}
+    for name, mesh in (("1dev", make_mesh(devices=jax.devices()[:1])),
+                       ("dp", make_mesh()),
+                       ("dp_tp", make_mesh(model=2))):
+        jit_for, sh_of = make_train_step(cfg, mesh)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        sh = sh_of(state)
+        state = jax.device_put(state, sh)
+        bsh = batch_sharding(mesh)
+        state, m = jit_for(sh)(state, jax.device_put(wav, bsh),
+                               jax.device_put(spk, bsh))
+        losses[name] = float(m["loss"])
+        ew = jax.device_get(state.params["decoder"]["emb"]["w"])
+        assert np.all(np.isfinite(ew))
+    assert abs(losses["1dev"] - losses["dp"]) < 1e-4, losses
+    assert abs(losses["dp"] - losses["dp_tp"]) < 1e-4, losses
+
+
 def test_dp_sp_full_train_step_matches_dp():
     """Sequence parallelism through the USER surface (cfg.train.mesh_seq
     / --mesh-seq): the ('data','seq') 4x2 mesh routes the decoder stack

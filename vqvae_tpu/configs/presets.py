@@ -94,6 +94,13 @@ class ModelConfig:
     # the decoder runs sequence-parallel (mesh_seq>1): the SP stack
     # computes full logits per time shard and keeps the XLA CE.
     head_kernel: str = "xla"
+    # pallas/pallas_sg decoder kernels only: compute the input
+    # embedding INSIDE the first chunk kernel (ids + the [2,mu,R]
+    # table go in; h and dh never touch HBM — the backward contracts
+    # dh against in-VMEM one-hots for the table gradient). Profile
+    # target: the XLA embedding fwd+bwd was 3.7 ms / 5% of the B=64
+    # step (docs/PERF.md). Parity pinned in tests/test_kernels.py.
+    embed_in_kernel: bool = False
     # decoder_kernel="pallas" only: >1 time-windows the recompute
     # backward (sum(dils)-halo grid over T-chunks) so its VMEM scratch
     # shrinks ~n-fold and the batch group returns to G=2; needs

@@ -837,15 +837,20 @@ fused_stack_chunk_embed.defvjp(_chunk_vjp_fwd_embed,
                                _chunk_vjp_bwd_embed)
 
 
-def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
+def decoder_stack_pallas(params: dict, cfg, h: jax.Array | None,
                          cond: jax.Array, gcond: jax.Array,
-                         interpret: bool | None = None) -> jax.Array:
+                         interpret: bool | None = None,
+                         ids: jax.Array | None = None) -> jax.Array:
     """The full L-layer gated-residual stack on fused chunk kernels.
 
     h ``[B,T,R]`` embedded inputs, cond ``[B,T,d]``, gcond ``[L,B,2R]``
     (conv bias folded).  Returns skips ``[B,T,S]`` — same contract as
     the layer loop inside models/wavenet.apply_decoder, which remains
     the shadow reference (tests/test_kernels.py).
+
+    ``cfg.embed_in_kernel``: pass ``ids [B,T]`` (int32) with ``h=None``
+    and the FIRST chunk computes the input embedding in-kernel
+    (fused_stack_chunk_embed) — h and dh never exist as HBM tensors.
 
     ``cfg.decoder_kernel == "pallas_sg"`` selects the save-gates
     variant (gates to HBM in fwd, no u-recompute in bwd); ``"pallas"``
@@ -872,11 +877,14 @@ def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
     per = -(-L // n_chunks)
 
     chunk, chunk_acc = fused_stack_chunk, fused_stack_chunk_acc
+    chunk_embed = fused_stack_chunk_embed
     if cfg.remat:
         chunk = jax.checkpoint(fused_stack_chunk,
                                static_argnums=(0, 1, 2, 3))
         chunk_acc = jax.checkpoint(fused_stack_chunk_acc,
                                    static_argnums=(0, 1, 2, 3))
+        chunk_embed = jax.checkpoint(fused_stack_chunk_embed,
+                                     static_argnums=(0, 1, 2, 3))
 
     bwd_windows = getattr(cfg, "bwd_time_windows", 0)
     cond = cond.astype(cdt)
@@ -888,6 +896,18 @@ def decoder_stack_pallas(params: dict, cfg, h: jax.Array,
     skips = jnp.sum(bs, axis=0).reshape(1, -1)
     for i, l0 in enumerate(range(0, L, per)):
         l1 = min(l0 + per, L)
+        if i == 0 and ids is not None:
+            # in-kernel input embedding: ids + the [2,mu,R] table go
+            # in; the materialized h [B,T,R] (and its dh in the
+            # backward) never touch HBM
+            wemb = params["emb"]["w"].astype(cdt)
+            bemb = params["emb"]["b"].reshape(1, -1).astype(cdt)
+            h, skips = chunk_embed(
+                tuple(dils[l0:l1]), interpret, save_gates,
+                bwd_windows, ids, wemb, bemb, cond, gct[:, l0:l1],
+                wff[l0:l1], vc[l0:l1], wr[l0:l1], br[l0:l1],
+                ws[l0:l1], skips)
+            continue
         h, skips = (chunk if i == 0 else chunk_acc)(
             tuple(dils[l0:l1]), interpret, save_gates, bwd_windows, h,
             cond, gct[:, l0:l1], wff[l0:l1], vc[l0:l1],

@@ -135,7 +135,6 @@ def decoder_skips(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
     R = cfg.residual_channels
     cdt = cfg.cdtype
     lay = params["layers"]
-    h = embed_inputs(params, cfg, ids_in)
     cond = cond.astype(cdt)
     gcond = global_cond(params, cfg, speaker)        # [L, B, 2R]
 
@@ -143,7 +142,15 @@ def decoder_skips(params: Dict, cfg: ModelConfig, ids_in: jax.Array,
         from vqvae_tpu.kernels.wavenet_train_pallas import (
             decoder_stack_pallas,
         )
+        if cfg.embed_in_kernel:
+            # the first chunk kernel embeds ids itself: h/dh never
+            # exist as HBM tensors (kernels/wavenet_train_pallas.py)
+            return decoder_stack_pallas(params, cfg, None, cond,
+                                        gcond, ids=ids_in)
+        h = embed_inputs(params, cfg, ids_in)
         return decoder_stack_pallas(params, cfg, h, cond, gcond)
+
+    h = embed_inputs(params, cfg, ids_in)
 
     def layer(h, skips, wf, vc, gc, wr, br, ws, bs, dil):
         u = shift_right(h, dil) @ wf[0].astype(cdt) + h @ wf[1].astype(cdt)
