@@ -218,6 +218,7 @@ def _bench_synthesis(cfg) -> float:
 def _bench_training(B: int | None = None,
                     decoder_kernel: str | None = None,
                     head_kernel: str | None = None,
+                    embed_in_kernel: bool | None = None,
                     min_utt: float = 0.0) -> dict:
     """Train-step throughput and MFU on one chip (flagship preset; the
     tiny preset under BENCH_SMOKE)."""
@@ -232,13 +233,16 @@ def _bench_training(B: int | None = None,
     cfg = get_config(PRESET)
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=B))
     if SMOKE:
-        decoder_kernel, head_kernel = None, None
+        decoder_kernel, head_kernel, embed_in_kernel = None, None, None
     if decoder_kernel is not None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, decoder_kernel=decoder_kernel))
     if head_kernel is not None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, head_kernel=head_kernel))
+    if embed_in_kernel is not None:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, embed_in_kernel=embed_in_kernel))
     mesh = make_mesh(devices=jax.devices()[:1])
     jit_for, shardings_of = make_train_step(cfg, mesh)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
@@ -385,8 +389,10 @@ def _witness_kernel_parity() -> dict:
 
     l_ref, gn_ref = loss_grad(cfg)
     variants = [
-        ("pallas_sg+head", {"decoder_kernel": "pallas_sg",
-                            "head_kernel": "pallas"}),
+        # the SHIPPED stretch combination (round 5: + in-kernel embed)
+        ("pallas_sg+head+emb", {"decoder_kernel": "pallas_sg",
+                                "head_kernel": "pallas",
+                                "embed_in_kernel": True}),
         ("pallas", {"decoder_kernel": "pallas"}),
     ]
     if FULL:
@@ -626,10 +632,10 @@ def main() -> None:
         if os.environ.get("BENCH_TRAIN", "1") != "0":
             # the best measured training configuration (docs/PERF.md):
             # B=64, save-gates backward + fused head+CE + chained skip
-            # accumulator
+            # accumulator + in-kernel input embedding (round 5)
             _run("training_best", _bench_training, B=4 if SMOKE else 64,
                  decoder_kernel="pallas_sg", head_kernel="pallas",
-                 min_utt=MIN_TRAIN_UTT)
+                 embed_in_kernel=True, min_utt=MIN_TRAIN_UTT)
         if os.environ.get("BENCH_PALLAS", "1") != "0":
             _run("pallas_sampling", _witness_pallas_sampling, cfg)
         if os.environ.get("BENCH_SERVE", "1") != "0":

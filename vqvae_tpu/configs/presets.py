@@ -235,9 +235,13 @@ def _stretch() -> Config:
     # docs/PERF.md "Save-gates backward"), and the fused head+CE
     # kernel saves another ~4 ms at B=64 (74.2 vs 78.4 ms — PERF.md
     # "Fused head+CE kernel"), so this B=64 preset ships both
+    # ...and the in-kernel input embedding buys another 2.3 ms at
+    # B=64 (69.8 vs 72.1 ms/step = 917 vs 888 utt/s, on-chip loss rel
+    # delta 5e-7 — scripts/embed_kernel_bench.py, PERF.md round 5)
     model = ModelConfig(ema=True, code_restart_threshold=1e-3,
                         decoder_kernel="pallas_sg",
-                        head_kernel="pallas")
+                        head_kernel="pallas",
+                        embed_in_kernel=True)
     train = TrainConfig(batch_size=64, eval_every=1000)
     return Config(model=model, train=train, name="stretch")
 

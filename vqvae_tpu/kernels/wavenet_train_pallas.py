@@ -99,7 +99,7 @@ def _gate(u, R, cdt):
     return ta, sb, z
 
 
-def _embed_h(ids, wemb_ref, bemb_ref, cdt):
+def _embed_h(ids3, idsp3, wemb_ref, bemb_ref, cdt):
     """In-kernel input embedding (round 4, "decoder input embedding"
     profile line — 3.7 ms of gather/one-hot HBM traffic at B=64):
     h[t] = w1[ids[t]] + w0[ids[t-1]] + b as two one-hot MXU matmuls
@@ -108,18 +108,22 @@ def _embed_h(ids, wemb_ref, bemb_ref, cdt):
     — vs the XLA path's two bf16 adds).  Returns the one-hots too: the
     backward contracts them against dh for the table gradient.
 
-    ids [G,T] int32, wemb_ref [2,mu,R], bemb_ref [1,R] ->
-    (oh1 [G*T,mu], ohp [G*T,mu], h [G,T,R])."""
-    G, T = ids.shape
+    ids arrive pre-reshaped as ``[G, T//128, 128]`` — Mosaic requires
+    a block's last two dims divisible by (8, 128) or equal to the
+    array's, which a 2-D ``[G, T]`` block violates at G<8; the
+    ``[T//128, 128]`` layout tiles exactly.  ``idsp3`` is the causal
+    shift ids[t-1] computed at the XLA level (one cheap int pad) with
+    the sentinel ``mu`` at t=0, so its one-hot row is all-zero there —
+    matching shift_right's zero padding with no in-kernel mask.
+
+    ids3/idsp3 [G,T/128,128] int32, wemb_ref [2,mu,R], bemb_ref [1,R]
+    -> (oh1 [G*T,mu], ohp [G*T,mu], h [G,T,R])."""
+    G, Tc, lanes = ids3.shape
+    T = Tc * lanes
     mu, R = wemb_ref.shape[1], wemb_ref.shape[2]
-    iota_mu = jax.lax.broadcasted_iota(jnp.int32, (G, T, mu), 2)
-    oh1 = (ids[..., None] == iota_mu).astype(cdt).reshape(G * T, mu)
-    # causal tap: w0 sees ids[t-1]; position 0 contributes ZERO
-    # (shift_right's pad), masked via the time iota
-    idsp = jnp.pad(ids, ((0, 0), (1, 0)))[:, :T]
-    tpos = jax.lax.broadcasted_iota(jnp.int32, (G, T), 1)
-    ohp = ((idsp[..., None] == iota_mu)
-           & (tpos[..., None] > 0)).astype(cdt).reshape(G * T, mu)
+    iota_mu = jax.lax.broadcasted_iota(jnp.int32, (G, Tc, lanes, mu), 3)
+    oh1 = (ids3[..., None] == iota_mu).astype(cdt).reshape(G * T, mu)
+    ohp = (idsp3[..., None] == iota_mu).astype(cdt).reshape(G * T, mu)
     h = (jnp.dot(oh1, wemb_ref[1], preferred_element_type=jnp.float32)
          + jnp.dot(ohp, wemb_ref[0],
                    preferred_element_type=jnp.float32)
@@ -127,14 +131,30 @@ def _embed_h(ids, wemb_ref, bemb_ref, cdt):
     return oh1, ohp, h.astype(cdt).reshape(G, T, R)
 
 
+def _ids3_of(ids: jax.Array, mu: int):
+    """XLA-level prep for the embed kernels: ids ``[B, T]`` ->
+    (ids3, idsp3) ``[B, T//128, 128]`` — the exact-tiling layout
+    Mosaic's block rules accept at batch groups < 8 — where idsp3 is
+    the causal shift ids[t-1] with sentinel ``mu`` at t=0 (its one-hot
+    row is then all-zero, matching shift_right's zero pad)."""
+    B, T = ids.shape
+    assert T % 128 == 0, (
+        f"embed_in_kernel needs length % 128 == 0, got T={T}")
+    idsp = jnp.concatenate(
+        [jnp.full((B, 1), mu, ids.dtype), ids[:, :-1]], axis=1)
+    return (ids.reshape(B, T // 128, 128),
+            idsp.reshape(B, T // 128, 128))
+
+
 def _fwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
                 acc: bool, embed: bool, *refs):
     if embed:
-        (ids_ref, wemb_ref, bemb_ref, cond_ref, gc_ref, wff_ref,
-         vc_ref, wr_ref, br_ref, ws_ref, tail_ref,
+        (ids_ref, idsp_ref, wemb_ref, bemb_ref, cond_ref, gc_ref,
+         wff_ref, vc_ref, wr_ref, br_ref, ws_ref, tail_ref,
          hout_ref, skips_ref, *rest) = refs
         cdt = wemb_ref.dtype
-        _, _, h = _embed_h(ids_ref[...], wemb_ref, bemb_ref, cdt)
+        _, _, h = _embed_h(ids_ref[...], idsp_ref[...], wemb_ref,
+                           bemb_ref, cdt)
     else:
         (h_ref, cond_ref, gc_ref, wff_ref, vc_ref, wr_ref, br_ref,
          ws_ref, tail_ref, hout_ref, skips_ref, *rest) = refs
@@ -173,11 +193,12 @@ def _fwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
 def _bwd_kernel(dils: Tuple[int, ...], R: int, save_gates: bool,
                 embed: bool, *refs):
     if embed:
-        (ids_ref, wemb_ref, bemb_ref, cond_ref, gc_ref, wff_ref,
-         vc_ref, wr_ref, br_ref, ws_ref, dhout_ref, dskips_ref,
-         *rest) = refs
+        (ids_ref, idsp_ref, wemb_ref, bemb_ref, cond_ref, gc_ref,
+         wff_ref, vc_ref, wr_ref, br_ref, ws_ref, dhout_ref,
+         dskips_ref, *rest) = refs
         cdt = wemb_ref.dtype
-        oh1, ohp, h = _embed_h(ids_ref[...], wemb_ref, bemb_ref, cdt)
+        oh1, ohp, h = _embed_h(ids_ref[...], idsp_ref[...], wemb_ref,
+                               bemb_ref, cdt)
         if save_gates:
             (gall_in_ref, dwemb_ref, dbemb_ref, dcond_ref, dgc_ref,
              dwff_ref, dvc_ref, dwr_ref, dbr_ref, dws_ref,
@@ -529,6 +550,8 @@ def _chunk_fwd_call(dils, interpret, save_gates,
         ids, wemb, bemb = lead
         B, T = ids.shape
         mu, R = wemb.shape[1], wemb.shape[2]
+        ids3, idsp3 = _ids3_of(ids, mu)
+        lead = (ids3, idsp3, wemb, bemb)
     else:
         (h,) = lead
         B, T, R = h.shape
@@ -555,7 +578,8 @@ def _chunk_fwd_call(dils, interpret, save_gates,
     if save_gates:
         out_specs.append(_group_spec(G, nl, T, 2 * R))
         out_shape.append(jax.ShapeDtypeStruct((B, nl, T, 2 * R), cdt))
-    lead_specs = ([_group_spec(G, T),               # ids (int32)
+    lead_specs = ([_group_spec(G, T // 128, 128),   # ids3 (int32)
+                   _group_spec(G, T // 128, 128),   # idsp3
                    _const_spec(2, mu, R),           # wemb
                    _const_spec(1, R)]               # bemb
                   if embed else [_group_spec(G, T, R)])   # h
@@ -651,9 +675,12 @@ def _chunk_grads(dils, interpret, save_gates, bwd_windows, res, cots,
         B, T = ids.shape
         mu, R = wemb.shape[1], wemb.shape[2]
         cdt = wemb.dtype
-        lead_specs = [_group_spec(G_ := _group_of(B, 1), T),
+        G_ = _group_of(B, 1)
+        ids3, idsp3 = _ids3_of(ids, mu)
+        lead_specs = [_group_spec(G_, T // 128, 128),
+                      _group_spec(G_, T // 128, 128),
                       _const_spec(2, mu, R), _const_spec(1, R)]
-        lead_args = [ids, wemb, bemb]
+        lead_args = [ids3, idsp3, wemb, bemb]
     else:
         h, cond, gc, wff, vc, wr, br, ws, gall = res
         B, T, R = h.shape
