@@ -12,7 +12,7 @@ from vqvae_tpu.ops.embed import take_rows
 
 
 def test_upsample_matmul_matches_conv_transpose():
-    """The einsum+overlap-add upsampler == lax.conv_transpose SAME."""
+    """The packed-matmul upsampler == lax.conv_transpose SAME."""
     for hop, Tl, d in ((64, 12, 16), (16, 7, 8)):
         p = upsample_init(jax.random.PRNGKey(0), d, d, hop, 2,
                           jnp.float32)
@@ -24,6 +24,59 @@ def test_upsample_matmul_matches_conv_transpose():
         assert got.shape == ref.shape == (2, Tl * hop, d)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def _upsample_overlap_add(params, z, hop):
+    """The round-1..4 einsum+overlap-add formulation, kept inline as the
+    shadow reference for the packed-matmul rewrite (round 5): the
+    zero-padded tap blocks of the packed weights contribute exact zeros
+    to each f32 accumulation, so values must match BITWISE."""
+    w = params["w"]
+    K, cin, cout = w.shape
+    B, Tl, _ = z.shape
+    wf = w[::-1]
+    a = jnp.einsum("btd,kde->btke", z, wf,
+                   preferred_element_type=jnp.float32).astype(z.dtype)
+    p0 = a[:, :, :hop].reshape(B, Tl * hop, cout)
+    p1 = a[:, :, hop:].reshape(B, Tl * hop, cout)
+    y = (jnp.pad(p0, ((0, 0), (0, hop), (0, 0)))
+         + jnp.pad(p1, ((0, 0), (hop, 0), (0, 0))))
+    y = y[:, hop // 2: hop // 2 + Tl * hop]
+    return y + params["b"].astype(y.dtype)
+
+
+def test_upsample_packed_matmul_bitwise_matches_overlap_add():
+    """The two-packed-matmul upsampler (round 5, the profile's 5.4 ms
+    'upsampler einsum' line) is BIT-IDENTICAL to the overlap-add
+    formulation it replaced — fwd values exact, grads allclose (grad
+    contraction orders differ between the two graphs)."""
+    for hop, Tl, d in ((64, 12, 16), (16, 7, 8), (8, 5, 4)):
+        p = upsample_init(jax.random.PRNGKey(2), d, d, hop, 2,
+                          jnp.float32)
+        z = jax.random.normal(jax.random.PRNGKey(3), (2, Tl, d))
+        np.testing.assert_array_equal(
+            np.asarray(upsample_apply(p, z, hop)),
+            np.asarray(_upsample_overlap_add(p, z, hop)))
+
+        def loss_new(pp):
+            return jnp.sum(jnp.sin(upsample_apply(pp, z, hop)))
+
+        def loss_old(pp):
+            return jnp.sum(jnp.sin(_upsample_overlap_add(pp, z, hop)))
+
+        g_new = jax.grad(loss_new)(p)
+        g_old = jax.grad(loss_old)(p)
+        for k in g_new:
+            np.testing.assert_allclose(np.asarray(g_new[k]),
+                                       np.asarray(g_old[k]),
+                                       rtol=2e-5, atol=2e-5)
+        gz_new = jax.grad(lambda zz: jnp.sum(
+            jnp.sin(upsample_apply(p, zz, hop))))(z)
+        gz_old = jax.grad(lambda zz: jnp.sum(
+            jnp.sin(_upsample_overlap_add(p, zz, hop))))(z)
+        np.testing.assert_allclose(np.asarray(gz_new),
+                                   np.asarray(gz_old),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_take_rows_matches_gather_fwd_and_grad():

@@ -237,7 +237,9 @@ def _stretch() -> Config:
     # "Fused head+CE kernel"), so this B=64 preset ships both
     # ...and the in-kernel input embedding buys another 2.3 ms at
     # B=64 (69.8 vs 72.1 ms/step = 917 vs 888 utt/s, on-chip loss rel
-    # delta 5e-7 — scripts/embed_kernel_bench.py, PERF.md round 5)
+    # delta 5e-7 — scripts/embed_kernel_bench.py, PERF.md round 5);
+    # with the packed-matmul upsampler (ops/conv.py, PERF.md round 5)
+    # the shipped step is 66.3 ms = 966 utt/s at B=64
     model = ModelConfig(ema=True, code_restart_threshold=1e-3,
                         decoder_kernel="pallas_sg",
                         head_kernel="pallas",

@@ -164,16 +164,30 @@ def upsample_init(key, in_ch: int, out_ch: int, hop: int,
 def upsample_apply(params: Dict[str, jax.Array], z: jax.Array,
                    hop: int, dtype=None) -> jax.Array:
     """``[B, T_lat, C_in] -> [B, T_lat*hop, C_out]``: stride-``hop``
-    SAME transposed conv, computed as ONE MXU einsum + overlap-add.
+    SAME transposed conv as TWO packed MXU matmuls (no overlap-add).
 
-    XLA's TPU lowering of ``lax.conv_transpose`` at this shape costs
-    ~3.5 ms/step on the flagship (profiled, docs/PERF.md); the same map
-    as a ``[B*T_lat, C_in] x [C_in, K*C_out]`` contraction plus two pads
-    is bandwidth-bound at ~0.2 ms.  Derivation (kernel K, stride hop,
-    K == 2*hop enforced by config): the VALID transposed conv at output
-    position q*hop + r is ``z[q] @ w[r] + z[q-1] @ w[r+hop]``; SAME
-    crops (K - hop)/2 = hop/2 from the left.  Equality with
-    lax.conv_transpose is pinned in tests/test_ops.py.
+    Derivation (kernel K == 2*hop, enforced by config; wf = w flipped
+    to match lax.conv_transpose's spatial flip): the SAME output at
+    position t = p*hop + s is
+
+        s <  hop/2:  z[p-1] @ wf[s + 3*hop/2] + z[p] @ wf[s + hop/2]
+        s >= hop/2:  z[p]   @ wf[s + hop/2]   + z[p+1] @ wf[s - hop/2]
+
+    i.e. every audio sample is (neighbour pair) @ (one tap each).  Pack
+    the taps into two ``[2*C_in, hop*C_out]`` weights (the inapplicable
+    neighbour's block zeroed) and the whole map is two
+    ``[B*T_lat, 2*C_in] x [2*C_in, hop*C_out]`` contractions over the
+    once-materialised neighbour concat — a pure row-major reshape away
+    from ``[B, T, C_out]``.  The round-4 profile's 5.4 ms "upsampler
+    einsum" line (docs/PERF.md) was this op's einsum+overlap-add
+    predecessor: the ``[B,T_lat,2*hop,C]`` intermediate and its pad/add/
+    slice chains (and their backward mirrors) round-tripped HBM; here
+    the only audio-rate tensor is the output itself, and autodiff gives
+    the matmul-only backward.  The two-matmul split (p0-taps | p1-taps)
+    keeps each output element's f32 tap-sums bitwise identical to the
+    predecessor, so frozen golden trajectories are unaffected; the
+    zeroed blocks contribute exact zeros to the accumulation.
+    Equality with lax.conv_transpose is pinned in tests/test_ops.py.
     """
     w = params["w"]
     if dtype is not None:
@@ -182,19 +196,38 @@ def upsample_apply(params: Dict[str, jax.Array], z: jax.Array,
     K, cin, cout = w.shape
     B, Tl, _ = z.shape
     assert K == 2 * hop, (K, hop)
+    assert hop % 2 == 0, hop
+    h2 = hop // 2
     # lax.conv_transpose applies the kernel FLIPPED along the spatial
     # axis (verified by impulse probe); flip here so checkpoints trained
     # on the conv path stay bit-compatible
     wf = w[::-1]
-    # A[b, q, r, e] = z[b, q] @ wf[r]
-    a = jnp.einsum("btd,kde->btke", z, wf,
-                   preferred_element_type=jnp.float32).astype(z.dtype)
-    p0 = a[:, :, :hop].reshape(B, Tl * hop, cout)   # taps r in [0, hop)
-    p1 = a[:, :, hop:].reshape(B, Tl * hop, cout)   # taps r+hop
-    # y_valid[q*hop + r] = p0[q*hop + r] + p1[(q-1)*hop + r]
-    y = (jnp.pad(p0, ((0, 0), (0, hop), (0, 0)))
-         + jnp.pad(p1, ((0, 0), (hop, 0), (0, 0))))
-    y = y[:, hop // 2: hop // 2 + Tl * hop]
+    zero = jnp.zeros((h2, cin, cout), wf.dtype)
+    # P0 rows (the VALID-conv "p0" taps, r in [0, hop)): pair (z, z_next)
+    #   s <  h2 -> z[p]   @ wf[s + h2]   (next block zero)
+    #   s >= h2 -> z[p+1] @ wf[s - h2]   (cur block zero)
+    wp0 = jnp.concatenate(
+        [jnp.concatenate([wf[h2:hop], zero], 0),       # cur taps
+         jnp.concatenate([zero, wf[:h2]], 0)], 1)      # next taps
+    # P1 rows (the "p1" taps, r in [hop, 2*hop)): pair (z_prev, z)
+    #   s <  h2 -> z[p-1] @ wf[s + 3*h2] (cur block zero)
+    #   s >= h2 -> z[p]   @ wf[s + h2]   (prev block zero)
+    wp1 = jnp.concatenate(
+        [jnp.concatenate([wf[3 * h2:], zero], 0),      # prev taps
+         jnp.concatenate([zero, wf[hop:3 * h2]], 0)], 1)   # cur taps
+    # [hop, 2cin, cout] -> [2cin, hop*cout]
+    wp0 = jnp.transpose(wp0, (1, 0, 2)).reshape(2 * cin, hop * cout)
+    wp1 = jnp.transpose(wp1, (1, 0, 2)).reshape(2 * cin, hop * cout)
+
+    znext = jnp.pad(z, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+    zprev = jnp.pad(z, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    e0 = jnp.concatenate([z, znext], -1).reshape(B * Tl, 2 * cin)
+    e1 = jnp.concatenate([zprev, z], -1).reshape(B * Tl, 2 * cin)
+    y = (jnp.dot(e0, wp0,
+                 preferred_element_type=jnp.float32).astype(z.dtype)
+         + jnp.dot(e1, wp1,
+                   preferred_element_type=jnp.float32).astype(z.dtype))
+    y = y.reshape(B, Tl * hop, cout)
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y
