@@ -109,6 +109,7 @@ def main() -> None:
                     choices=["xla", "pallas", "pallas_sg"])
     ap.add_argument("--head-kernel", default=None,
                     choices=["xla", "pallas"])
+    ap.add_argument("--embed-in-kernel", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--profile-batch", type=int, default=0)
@@ -126,6 +127,9 @@ def main() -> None:
     if args.head_kernel:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, head_kernel=args.head_kernel))
+    if args.embed_in_kernel:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, embed_in_kernel=True))
     print(f"device: {jax.devices()[0].device_kind}, "
           f"flagship T={cfg.data.length}, remat={cfg.model.remat}")
     rows = []

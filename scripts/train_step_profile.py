@@ -39,8 +39,10 @@ PHASE_BY_SOURCE = [
     ("models/wavenet.py:16", "head_ce"),        # _head matmuls
     ("models/vqvae.py:9", "head_ce"),           # CE logsumexp/one-hot
     ("models/vqvae.py:10", "head_ce"),
-    ("ops/conv.py:18", "upsampler"),            # einsum upsample
-    ("ops/conv.py:19", "upsampler"),
+    ("ops/conv.py:20", "upsampler"),            # packed-matmul upsample
+    ("ops/conv.py:21", "upsampler"),            # (weight pack, neighbour
+    ("ops/conv.py:22", "upsampler"),            # concat, two dots,
+    ("ops/conv.py:23", "upsampler"),            # reshape + bias)
     ("ops/conv.py:64", "input_embed"),          # causal shift_right
     ("ops/embed.py", "input_embed"),
     ("models/wavenet.py:11", "input_embed"),    # take_rows + bias
@@ -91,6 +93,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--decoder-kernel", default="pallas_sg")
+    ap.add_argument("--head-kernel", default=None)
+    ap.add_argument("--embed-in-kernel", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default="/tmp/train_step_profile")
     ap.add_argument("--hlo-stats",
@@ -102,13 +106,16 @@ def main() -> None:
     if stats_path is None:
         import subprocess
         import sys
-        subprocess.run(
-            [sys.executable, "scripts/train_roofline.py",
-             "--batches", str(args.batch),
-             "--decoder-kernel", args.decoder_kernel,
-             "--steps", str(args.steps),
-             "--profile-batch", str(args.batch), "--out", args.out],
-            check=True)
+        cmd = [sys.executable, "scripts/train_roofline.py",
+               "--batches", str(args.batch),
+               "--decoder-kernel", args.decoder_kernel,
+               "--steps", str(args.steps),
+               "--profile-batch", str(args.batch), "--out", args.out]
+        if args.head_kernel:
+            cmd += ["--head-kernel", args.head_kernel]
+        if args.embed_in_kernel:
+            cmd += ["--embed-in-kernel"]
+        subprocess.run(cmd, check=True)
         xplane = sorted(glob.glob(
             args.out + "/plugins/profile/*/*.xplane.pb"))[-1]
         from xprof.convert import raw_to_tool_data
