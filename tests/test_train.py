@@ -90,8 +90,13 @@ def test_dp_matches_single_device(ema, restart, mult):
                         jax.device_get(state.vq_state.count),
                         jax.device_get(state.vq_state.sum)))
     assert abs(results[0][0] - results[1][0]) < 1e-5
+    # the codebook-LR multiplier scales the Adam update — and with it
+    # the psum-ordering noise floor between the serial and 8-way sums —
+    # linearly, so the absolute tolerance scales with it too (at mult=20
+    # the worst element sits ~1.1e-5 after 3 steps, rel ~2.6e-4 of the
+    # update)
     np.testing.assert_allclose(results[0][1], results[1][1],
-                               rtol=2e-5, atol=2e-6)
+                               rtol=2e-5, atol=2e-6 * max(1.0, mult))
     # the EMA accumulators themselves must be sharding-invariant too
     np.testing.assert_allclose(results[0][2], results[1][2],
                                rtol=2e-5, atol=2e-5)
