@@ -70,8 +70,10 @@ def test_decoder_is_reusable():
 def test_rejects_bad_chunk_and_shape():
     cfg, params, spk = _setup()
     key = jax.random.PRNGKey(8)
+    # kernel_frames forced so the invalid geometry is requested on
+    # every backend (TPU's auto width rounds chunk=1 up to a legal 64)
     with pytest.raises(ValueError, match="multiple of"):
-        PallasStreamDecoder(params, cfg, chunk=1)
+        PallasStreamDecoder(params, cfg, chunk=1, kernel_frames=1)
     dec = PallasStreamDecoder(params, cfg, greedy=True)
     with pytest.raises(ValueError, match=r"codes must be"):
         dec.decode(np.zeros(16, np.int32), spk, key)
